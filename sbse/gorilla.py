@@ -1,0 +1,248 @@
+"""Gorilla time-series compression (Facebook's Gorilla paper, VLDB 2015):
+delta-of-delta timestamps + XOR-encoded float values, packed into binary
+blobs per (source, key) series.
+
+The reference stores rollup points uncompressed in TimescaleDB; the north
+rule adds Gorilla-compressed point storage inside Arrow-backed binary
+columns. Encode/decode run per-group via ``applyInPandas`` (Arrow batches;
+the bit-packing loop is per-point inside a batch, never per-row Python UDF).
+
+Layout per blob (big-endian bit stream):
+  [n:32][t0:64 ms][first value:64 raw]
+  per subsequent point:
+    timestamp: dod == 0 -> '0'
+               -63..64          -> '10'  + 7  bits (zigzag-less, offset)
+               -255..256        -> '110' + 9  bits
+               -2047..2048      -> '1110'+ 12 bits
+               else             -> '1111'+ 64 bits raw delta
+    value: xor == 0 -> '0'
+           fits prior window -> '10' + meaningful bits
+           else -> '11' + 6b leading-zero count + 6b length + bits
+First delta is stored with the '1111' raw-64 branch for simplicity.
+"""
+
+from __future__ import annotations
+
+import struct
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+class _BitWriter:
+    __slots__ = ("buf", "acc", "nbits")
+
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, bits: int) -> None:
+        self.acc = (self.acc << bits) | (value & ((1 << bits) - 1))
+        self.nbits += bits
+        while self.nbits >= 8:
+            self.nbits -= 8
+            self.buf.append((self.acc >> self.nbits) & 0xFF)
+        self.acc &= (1 << self.nbits) - 1
+
+    def finish(self) -> bytes:
+        if self.nbits:
+            self.buf.append((self.acc << (8 - self.nbits)) & 0xFF)
+            self.acc = 0
+            self.nbits = 0
+        return bytes(self.buf)
+
+
+class _BitReader:
+    __slots__ = ("data", "pos")
+
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0
+
+    def read(self, bits: int) -> int:
+        out = 0
+        for _ in range(bits):
+            byte = self.data[self.pos >> 3]
+            out = (out << 1) | ((byte >> (7 - (self.pos & 7))) & 1)
+            self.pos += 1
+        return out
+
+
+_TS_BRANCHES = [  # (prefix value, prefix bits, payload bits, lo, hi)
+    (0b10, 2, 7, -63, 64),
+    (0b110, 3, 9, -255, 256),
+    (0b1110, 4, 12, -2047, 2048),
+]
+
+
+def encode_points(ts_ms: list[int], values: list[float]) -> bytes:
+    """Encode one sorted series. ts_ms int64 milliseconds, values float64."""
+    n = len(ts_ms)
+    w = _BitWriter()
+    w.write(n, 32)
+    if n == 0:
+        return w.finish()
+    w.write(ts_ms[0] & ((1 << 64) - 1), 64)
+    v0 = struct.unpack(">Q", struct.pack(">d", values[0]))[0]
+    w.write(v0, 64)
+    prev_t = ts_ms[0]
+    prev_delta = 0
+    prev_bits = v0
+    prev_lz, prev_tz = 65, 65  # force a '11' rewrite on first xor != 0
+    for i in range(1, n):
+        t = ts_ms[i]
+        delta = t - prev_t
+        dod = delta - prev_delta
+        if dod == 0:
+            w.write(0, 1)
+        else:
+            for prefix, pbits, payload, lo, hi in _TS_BRANCHES:
+                if lo <= dod <= hi:
+                    w.write(prefix, pbits)
+                    w.write(dod - lo, payload)
+                    break
+            else:
+                w.write(0b1111, 4)
+                w.write(delta & ((1 << 64) - 1), 64)
+                dod = None  # raw branch stores delta, not dod
+        prev_t, prev_delta = t, delta
+        bits = struct.unpack(">Q", struct.pack(">d", values[i]))[0]
+        xor = bits ^ prev_bits
+        if xor == 0:
+            w.write(0, 1)
+        else:
+            lz = 64 - xor.bit_length()
+            tz = (xor & -xor).bit_length() - 1
+            if lz > 31:
+                lz = 31
+            if lz >= prev_lz and tz >= prev_tz:
+                w.write(0b10, 2)
+                mbits = 64 - prev_lz - prev_tz
+                w.write(xor >> prev_tz, mbits)
+            else:
+                w.write(0b11, 2)
+                mbits = 64 - lz - tz
+                w.write(lz, 6)
+                w.write(mbits, 7)
+                w.write(xor >> tz, mbits)
+                prev_lz, prev_tz = lz, tz
+        prev_bits = bits
+    return w.finish()
+
+
+def decode_points(blob: bytes) -> tuple[list[int], list[float]]:
+    r = _BitReader(blob)
+    n = r.read(32)
+    ts: list[int] = []
+    vals: list[float] = []
+    if n == 0:
+        return ts, vals
+    t0 = r.read(64)
+    if t0 >= 1 << 63:
+        t0 -= 1 << 64
+    v_bits = r.read(64)
+    ts.append(t0)
+    vals.append(struct.unpack(">d", struct.pack(">Q", v_bits))[0])
+    prev_t = t0
+    prev_delta = 0
+    prev_lz, prev_tz = 65, 65
+    for _ in range(1, n):
+        if r.read(1) == 0:
+            delta = prev_delta
+        else:
+            if r.read(1) == 0:
+                dod = r.read(7) - 63
+                delta = prev_delta + dod
+            elif r.read(1) == 0:
+                dod = r.read(9) - 255
+                delta = prev_delta + dod
+            elif r.read(1) == 0:
+                dod = r.read(12) - 2047
+                delta = prev_delta + dod
+            else:
+                delta = r.read(64)
+                if delta >= 1 << 63:
+                    delta -= 1 << 64
+        t = prev_t + delta
+        ts.append(t)
+        prev_t, prev_delta = t, delta
+        if r.read(1) == 0:
+            pass  # same value
+        else:
+            if r.read(1) == 0:
+                mbits = 64 - prev_lz - prev_tz
+                xor = r.read(mbits) << prev_tz
+            else:
+                lz = r.read(6)
+                mbits = r.read(7)
+                tz = 64 - lz - mbits
+                xor = r.read(mbits) << tz
+                prev_lz, prev_tz = lz, tz
+            v_bits ^= xor
+        vals.append(struct.unpack(">d", struct.pack(">Q", v_bits))[0])
+    return ts, vals
+
+
+def encode_tier(tier: DataFrame, value_col: str = "n_tok_sum") -> DataFrame:
+    """Compress a rollup tier into one Gorilla blob per (source, key).
+
+    Output: source, key, n_points, t_min, t_max, blob (binary). Points are
+    (bucket_start ms, value_col as double), sorted by bucket."""
+
+    def enc(pdf):
+        import pandas as pd
+
+        from sbse.gorilla import encode_points  # self-import: works on executors
+
+        pdf = pdf.sort_values("bucket_start")
+        ts_ms = pdf["bucket_start"].to_numpy().astype("datetime64[ms]").astype("int64").tolist()
+        vals = pdf[value_col].astype("float64").tolist()
+        blob = encode_points(ts_ms, vals)
+        return pd.DataFrame(
+            {
+                "source": [pdf["source"].iloc[0]],
+                "key": [pdf["key"].iloc[0]],
+                "n_points": [len(ts_ms)],
+                "t_min": [min(ts_ms)],
+                "t_max": [max(ts_ms)],
+                "blob": [blob],
+            }
+        )
+
+    return tier.select("source", "key", "bucket_start", value_col).groupBy(
+        "source", "key"
+    ).applyInPandas(
+        enc,
+        schema="source string, key bigint, n_points int, t_min bigint, "
+               "t_max bigint, blob binary",
+    )
+
+
+def decode_tier(blobs: DataFrame, value_col: str = "n_tok_sum") -> DataFrame:
+    """Inverse of encode_tier: explode blobs back into points."""
+
+    def dec(batches):
+        import pandas as pd
+
+        from sbse.gorilla import decode_points
+
+        for pdf in batches:
+            rows = {"source": [], "key": [], "ts_ms": [], "value": []}
+            for _, row in pdf.iterrows():
+                ts, vals = decode_points(bytes(row["blob"]))
+                rows["source"].extend([row["source"]] * len(ts))
+                rows["key"].extend([row["key"]] * len(ts))
+                rows["ts_ms"].extend(ts)
+                rows["value"].extend(vals)
+            yield pd.DataFrame(rows)
+
+    out = blobs.mapInPandas(
+        dec, schema="source string, key bigint, ts_ms bigint, value double"
+    )
+    return out.select(
+        "source",
+        "key",
+        F.timestamp_millis(F.col("ts_ms")).alias("bucket_start"),
+        F.col("value").alias(value_col),
+    )

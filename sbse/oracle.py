@@ -1,0 +1,323 @@
+"""DuckDB oracle SQL for every SQL-expressible engine query.
+
+The driver registers the sf-dir parquet tables as DuckDB views
+(``events``, ``documents``, ``embeddings``, ...) and compares each
+``queries()[name]`` Spark result against ``oracle_sql()[name]`` by
+row-count + schema + order-insensitive value hash. Column names and types
+here must match the Spark side exactly.
+
+The core-pipeline oracles rebuild the whole chain (token projection ->
+decode -> LOCF merge -> sessionize -> rollups) in portable SQL, generated
+from the same templates as the engine (sbse.dialect).
+"""
+
+from __future__ import annotations
+
+from sbse.dialect import DUCK, decode_sql, ord_expr, token_table_sql
+
+_EPOCH_MS = DUCK["epoch_ms"]
+_SHA = DUCK["sha256"]
+
+
+def _core_prelude(gap_ms: int) -> str:
+    """CTE chain: tokens -> decode -> states -> LOCF merge -> sessionized."""
+    tok = token_table_sql(DUCK, "events")
+    dec = decode_sql(DUCK, "sbse_tok")
+    ord_ = ord_expr(DUCK)
+    ts_ms = _EPOCH_MS.format(x="ts")
+    prev_ms = _EPOCH_MS.format(x="prev_ts")
+    sstart_ms = _EPOCH_MS.format(x="s_start")
+    sid = _SHA.format(
+        x="concat_ws('|', source, CAST(key AS STRING), "
+          f"CAST({sstart_ms} AS STRING), CAST(sidx AS STRING))"
+    )
+    return f"""
+WITH sbse_tok AS ({tok}),
+dec AS ({dec}),
+st AS (SELECT * FROM dec WHERE ok AND key IS NOT NULL),
+o AS (SELECT *, {ord_} AS ord FROM st),
+m AS (
+  SELECT *,
+    COALESCE(last_value(nullif(callsign, '') IGNORE NULLS) OVER w, '') AS callsign_m,
+    COALESCE(last_value(nullif(altitude, 0) IGNORE NULLS) OVER w, 0) AS altitude_m,
+    COALESCE(last_value(nullif(ground_speed, 0) IGNORE NULLS) OVER w, 0) AS ground_speed_m,
+    COALESCE(last_value(nullif(track, 0) IGNORE NULLS) OVER w, 0) AS track_m,
+    COALESCE(last_value(nullif(lat, 0) IGNORE NULLS) OVER w, 0) AS lat_m,
+    COALESCE(last_value(nullif(lon, 0) IGNORE NULLS) OVER w, 0) AS lon_m,
+    COALESCE(last_value(nullif(vertical_rate, 0) IGNORE NULLS) OVER w, 0) AS vertical_rate_m,
+    COALESCE(last_value(nullif(squawk, '') IGNORE NULLS) OVER w, '') AS squawk_m
+  FROM o
+  WINDOW w AS (PARTITION BY source, key ORDER BY ord
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+s1 AS (
+  SELECT *, lag(ts) OVER (PARTITION BY source, key ORDER BY ord) AS prev_ts FROM m
+),
+s2 AS (
+  SELECT *, CASE WHEN prev_ts IS NULL OR {ts_ms} - {prev_ms} > {gap_ms}
+                 THEN 1 ELSE 0 END AS new_sess
+  FROM s1
+),
+s3 AS (
+  SELECT *,
+    sum(new_sess) OVER (PARTITION BY source, key ORDER BY ord
+                        ROWS UNBOUNDED PRECEDING) AS sidx
+  FROM s2
+),
+s4 AS (
+  SELECT *,
+    min(ts) OVER (PARTITION BY source, key, sidx) AS s_start,
+    max(sidx) OVER (PARTITION BY source, key) AS max_sidx
+  FROM s3
+),
+sess_events AS (
+  SELECT *, {sid} AS session_id, (sidx = max_sidx) AS is_trailing FROM s4
+)
+""".strip()
+
+
+_SESSION_SELECT = """
+SELECT session_id, source, key,
+  min(ts) AS started_at,
+  {ended_at} AS ended_at,
+  count(*) AS n_events,
+  max_by(callsign_m, ord) AS callsign,
+  min_by(lat_m, ord) AS first_lat,
+  min_by(lon_m, ord) AS first_lon,
+  max_by(lat_m, ord) AS last_lat,
+  max_by(lon_m, ord) AS last_lon,
+  max(altitude_m) AS max_altitude,
+  max(ground_speed_m) AS max_ground_speed,
+  CAST(round(max(ground_speed_m)) AS BIGINT) AS max_ground_speed_i,
+  bool_or(is_trailing) AS is_open
+FROM sess_events
+GROUP BY session_id, source, key
+"""
+
+_ROLLUP_FROM_STATES = """
+SELECT source, key, date_trunc('{unit}', ts) AS bucket_start,
+  count(*) AS cnt,
+  CAST(sum(n_tok) AS BIGINT) AS n_tok_sum,
+  min(n_tok) AS n_tok_min,
+  max(n_tok) AS n_tok_max,
+  min_by(n_tok, ord) AS first_ntok,
+  max_by(n_tok, ord) AS last_ntok
+FROM o
+GROUP BY source, key, date_trunc('{unit}', ts)
+"""
+
+
+def oracles() -> dict[str, str]:
+    p30 = _core_prelude(30_000)
+    p300 = _core_prelude(300_000)
+    q: dict[str, str] = {}
+
+    q["q01_decode"] = (
+        f"{p30}\n"
+        "SELECT doc_id, source, CAST(n_tok AS INT) AS n_tok, seq, prefix, ok, "
+        "CAST(mt_raw AS INT) AS mt_raw, CAST(msg_type AS INT) AS msg_type, ts, "
+        "key, callsign, altitude, ground_speed, track, lat, lon, "
+        "vertical_rate, squawk, on_ground FROM dec"
+    )
+
+    hist = ",\n  ".join(
+        f"CAST(sum(CASE WHEN ok AND msg_type = {i} THEN 1 ELSE 0 END) AS BIGINT) AS h{i}"
+        for i in range(10)
+    )
+    q["q02_metrics"] = f"""{p30}
+SELECT count(*) AS total_rows,
+  CAST(sum(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS parsed_rows,
+  CAST(sum(CASE WHEN NOT ok THEN 1 ELSE 0 END) AS BIGINT) AS failed_rows,
+  CAST(sum(CASE WHEN ok AND key IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS stored_states,
+  CAST(count(DISTINCT CASE WHEN ok AND key IS NOT NULL
+             THEN concat(source, '|', CAST(key AS STRING)) END) AS BIGINT) AS active_keys,
+  {hist}
+FROM dec"""
+
+    q["q03_state_final"] = f"""{p30}
+SELECT source, key, max(ts) AS last_ts,
+  max_by(callsign_m, ord) AS callsign,
+  max_by(altitude_m, ord) AS altitude,
+  max_by(ground_speed_m, ord) AS ground_speed,
+  max_by(track_m, ord) AS track,
+  max_by(lat_m, ord) AS lat,
+  max_by(lon_m, ord) AS lon,
+  max_by(vertical_rate_m, ord) AS vertical_rate,
+  max_by(squawk_m, ord) AS squawk,
+  max_by(on_ground, ord) AS on_ground,
+  count(*) AS n_states
+FROM m GROUP BY source, key"""
+
+    q["q04_sessions_gap30"] = p30 + _SESSION_SELECT.format(ended_at="max(ts)")
+    q["q05_sessions_gap300"] = p300 + _SESSION_SELECT.format(ended_at="max(ts)")
+
+    q["q06_rollup_1m"] = p30 + _ROLLUP_FROM_STATES.format(unit="minute")
+    q["q07_rollup_1h"] = p30 + _ROLLUP_FROM_STATES.format(unit="hour")
+    q["q08_rollup_1d"] = p30 + _ROLLUP_FROM_STATES.format(unit="day")
+
+    q["q09_gapfill_1h"] = f"""{p30},
+r AS ({_ROLLUP_FROM_STATES.format(unit="hour")}),
+k AS (SELECT source, key, min(bucket_start) AS b0, max(bucket_start) AS b1
+      FROM r GROUP BY source, key),
+spine AS (SELECT source, key,
+            unnest(generate_series(b0, b1, INTERVAL 1 HOUR)) AS bucket_start
+          FROM k),
+j AS (SELECT s.source, s.key, s.bucket_start, r.cnt, r.n_tok_sum, r.last_ntok
+      FROM spine s LEFT JOIN r USING (source, key, bucket_start))
+SELECT source, key, bucket_start,
+  COALESCE(cnt, 0) AS cnt,
+  COALESCE(n_tok_sum, 0) AS n_tok_sum,
+  (cnt IS NULL) AS is_gap,
+  last_value(last_ntok IGNORE NULLS) OVER (
+    PARTITION BY source, key ORDER BY bucket_start
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_ntok_locf
+FROM j"""
+
+    # Retention: keep only buckets younger than the horizon (analog of
+    # TimescaleDB add_retention_policy chunk drops, migrations/002:7-11).
+    q["q10_retention_1h"] = f"""{p30},
+r AS ({_ROLLUP_FROM_STATES.format(unit="hour")}),
+mx AS (SELECT max(bucket_start) AS bmax FROM r)
+SELECT r.* FROM r, mx WHERE r.bucket_start >= mx.bmax - INTERVAL 240 HOUR"""
+
+    # Validation gate (tracker main.go:118-123): broadcast dim of valid keys;
+    # here the dim is the deterministic rule key % 10 <> 7.
+    q["q11_validation_gate"] = f"""{p30}
+SELECT source, count(*) AS cnt, CAST(sum(n_tok) AS BIGINT) AS n_tok_sum
+FROM st WHERE key % 10 <> 7 GROUP BY source"""
+
+    # Active sessions (flights WHERE ended_at IS NULL, db/client.go:32-63):
+    # with close_trailing=false only trailing sessions stay open.
+    q["q12_active_sessions"] = f"""{p30}
+SELECT session_id, source, key, min(ts) AS started_at, count(*) AS n_events
+FROM sess_events WHERE is_trailing GROUP BY session_id, source, key"""
+
+    # Daily raw-archive partitions (logger daily files, cmd/logger/main.go:122-231).
+    q["q13_archive_daily"] = f"""{p30}
+SELECT date_trunc('day', ts) AS log_date, source,
+  count(*) AS cnt, CAST(sum(n_tok) * 4 AS BIGINT) AS raw_bytes
+FROM dec WHERE ts IS NOT NULL GROUP BY date_trunc('day', ts), source"""
+
+    # Metrics range scan (GetSystemStats BETWEEN, db/client.go:167-257).
+    q["q14_range_scan"] = f"""{p30}
+SELECT key, count(*) AS cnt, max(altitude_m) AS max_altitude
+FROM m
+WHERE ts BETWEEN TIMESTAMP '2024-01-02 00:00:00' AND TIMESTAMP '2024-01-05 00:00:00'
+GROUP BY key"""
+
+    q.update(_datapipe_oracles())
+    return q
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline oracles (documents / embeddings tables).
+# ---------------------------------------------------------------------------
+
+def _datapipe_oracles() -> dict[str, str]:
+    q: dict[str, str] = {}
+
+    q["q20_dedup_exact"] = """
+SELECT md5(text) AS text_hash,
+  min(doc_id) AS keeper_doc_id,
+  count(*) AS n_copies,
+  CAST(count(*) - 1 AS BIGINT) AS n_dropped
+FROM documents GROUP BY md5(text)"""
+
+    # Word 3-gram shingles + exact Jaccard on candidate pairs that share at
+    # least one shingle within the same lang.
+    shingles = """
+w AS (SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, lang,
+    concat_ws(' ', ws[i], ws[i+1], ws[i+2]) AS shingle
+  FROM w, unnest(generate_series(1, len(ws) - 2)) AS t(i)
+),
+card AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id)
+"""
+    q["q21_ngram_jaccard"] = f"""WITH {shingles},
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.lang = b.lang
+       AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT p.doc_a, p.doc_b,
+  CAST(p.inter AS DOUBLE) / (ca.n_sh + cb.n_sh - p.inter) AS jaccard
+FROM pairs p JOIN card ca ON p.doc_a = ca.doc_id
+             JOIN card cb ON p.doc_b = cb.doc_id
+WHERE CAST(p.inter AS DOUBLE) / (ca.n_sh + cb.n_sh - p.inter) >= 0.2"""
+
+    # MinHash (lexicographic md5-min per seed) + 4x2 LSH bands; candidates =
+    # pairs sharing a band; verified with exact Jaccard >= 0.2.
+    mh_cols = ", ".join(
+        f"min(md5(concat(CAST({s} AS STRING), '|', shingle))) AS mh{s}"
+        for s in range(8)
+    )
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_id, md5(concat(mh{2*b}, mh{2*b+1})) AS band "
+        f"FROM sig" for b in range(4)
+    )
+    q["q22_minhash_lsh"] = f"""WITH {shingles},
+sig AS (SELECT doc_id, {mh_cols} FROM sh GROUP BY doc_id),
+bands AS ({band_rows}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band = b.band AND a.doc_id < b.doc_id
+),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS inter
+  FROM cand c JOIN sh a ON a.doc_id = c.doc_a
+              JOIN sh b ON b.doc_id = c.doc_b AND a.shingle = b.shingle
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT i.doc_a, i.doc_b,
+  CAST(i.inter AS DOUBLE) / (ca.n_sh + cb.n_sh - i.inter) AS jaccard
+FROM inter i JOIN card ca ON i.doc_a = ca.doc_id
+             JOIN card cb ON i.doc_b = cb.doc_id
+WHERE CAST(i.inter AS DOUBLE) / (ca.n_sh + cb.n_sh - i.inter) >= 0.2"""
+
+    # Embedding near-duplicate pairs: exact cosine via ordered fold; ids only
+    # (floats kept out of the hashed output; threshold margin asserted in
+    # tests).
+    q["q24_embedding_neardup"] = """
+WITH n AS (
+  SELECT vec_id, embedding AS e,
+    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))) AS nrm
+  FROM embeddings
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b
+FROM n a JOIN n b ON a.vec_id < b.vec_id
+WHERE list_sum(list_transform(list_zip(a.e, b.e),
+        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+      / (a.nrm * b.nrm) >= 0.999"""
+
+    # Text quality / language heuristics + token counting.
+    q["q25_text_quality"] = """
+SELECT doc_id, lang, source,
+  length(text) AS n_chars,
+  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words_ws,
+  CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS n_alpha_tokens,
+  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS BIGINT) AS n_bpe_ish,
+  CAST((length(text) - length(replace(text, ' the ', ''))) / 5 AS BIGINT) AS n_the,
+  CAST(length(text) AS DOUBLE) / len(string_split(text, ' ')) AS avg_token_len,
+  (length(text) BETWEEN 100 AND 500
+   AND len(string_split(text, ' ')) >= 20) AS quality_pass
+FROM documents"""
+
+    # Multimodal binary plumbing: byte-level features computed Spark-side via
+    # Arrow mapInPandas over binary payloads; oracle recomputes from chars
+    # (texts are ASCII, so code point == byte).
+    q["q28_multimodal_features"] = """
+WITH s AS (
+  SELECT doc_id, CAST(sum(ascii(substr(text, i, 1))) AS BIGINT) AS byte_sum
+  FROM documents, unnest(generate_series(1, length(text))) AS t(i)
+  GROUP BY doc_id
+)
+SELECT d.doc_id,
+  CAST(length(d.text) AS BIGINT) AS n_bytes,
+  s.byte_sum,
+  CAST(s.byte_sum % 997 AS BIGINT) AS fake_feature
+FROM documents d JOIN s USING (doc_id)"""
+
+    return q

@@ -1,0 +1,260 @@
+"""Engine-side implementations of every oracle-checked query.
+
+Each function takes ``(spark, sf_dir)`` and returns a DataFrame whose column
+names and types match the DuckDB oracle in ``sbse.oracle`` exactly (the
+driver's compare is order-insensitive but name/type-sensitive).
+
+These are thin compositions of the engine operators — DataFrame API all the
+way down, one shuffle per keyed stage, broadcast joins for dimensions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from sbse.decode import decode
+from sbse.rollup import bucket_rollup, cascade, gapfill_locf
+from sbse.sessionize import locf_merge, ord_col, session_rollup, sessionize, states_only
+from sbse.tokens import token_table_from_events
+from sbse.datapipe import dedup as dd
+from sbse.datapipe import similarity as sim
+from sbse.datapipe import text as tx
+
+
+def _decoded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return decode(token_table_from_events(spark, sf_dir), mode="expr")
+
+
+def _merged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return locf_merge(states_only(_decoded(spark, sf_dir)))
+
+
+def _rollup(spark: SparkSession, sf_dir: str, unit: str) -> DataFrame:
+    r = bucket_rollup(states_only(_decoded(spark, sf_dir)), unit)
+    return r.drop("first_fp", "last_fp")  # fp columns are engine-only (xxhash64)
+
+
+def q01_decode(spark, sf_dir):
+    return _decoded(spark, sf_dir).drop("tokens")
+
+
+def q02_metrics(spark, sf_dir):
+    """Run counters (stats.go:69-132): totals + per-msg-type histogram
+    (index = msg_type, only 0..9 — out-of-range silently dropped,
+    stats.go:89-93)."""
+    d = _decoded(spark, sf_dir)
+    aggs = [
+        F.count(F.lit(1)).alias("total_rows"),
+        F.sum(F.when(F.col("ok"), 1).otherwise(0)).cast("bigint").alias("parsed_rows"),
+        F.sum(F.when(~F.col("ok"), 1).otherwise(0)).cast("bigint").alias("failed_rows"),
+        F.sum(F.when(F.col("ok") & F.col("key").isNotNull(), 1).otherwise(0))
+        .cast("bigint").alias("stored_states"),
+        F.countDistinct(
+            F.when(
+                F.col("ok") & F.col("key").isNotNull(),
+                F.concat(F.col("source"), F.lit("|"), F.col("key").cast("string")),
+            )
+        ).cast("bigint").alias("active_keys"),
+    ]
+    aggs += [
+        F.sum(F.when(F.col("ok") & (F.col("msg_type") == i), 1).otherwise(0))
+        .cast("bigint").alias(f"h{i}")
+        for i in range(10)
+    ]
+    return d.agg(*aggs)
+
+
+def q03_state_final(spark, sf_dir):
+    m = _merged(spark, sf_dir).withColumn("ord", ord_col())
+    return m.groupBy("source", "key").agg(
+        F.max("ts").alias("last_ts"),
+        F.expr("max_by(callsign_m, ord)").alias("callsign"),
+        F.expr("max_by(altitude_m, ord)").alias("altitude"),
+        F.expr("max_by(ground_speed_m, ord)").alias("ground_speed"),
+        F.expr("max_by(track_m, ord)").alias("track"),
+        F.expr("max_by(lat_m, ord)").alias("lat"),
+        F.expr("max_by(lon_m, ord)").alias("lon"),
+        F.expr("max_by(vertical_rate_m, ord)").alias("vertical_rate"),
+        F.expr("max_by(squawk_m, ord)").alias("squawk"),
+        F.expr("max_by(on_ground, ord)").alias("on_ground"),
+        F.count(F.lit(1)).alias("n_states"),
+    )
+
+
+def _sessions(spark, sf_dir, gap_ms):
+    s = sessionize(_merged(spark, sf_dir), gap_ms=gap_ms, close_trailing=True)
+    return session_rollup(s)
+
+
+def q04_sessions_gap30(spark, sf_dir):
+    return _sessions(spark, sf_dir, 30_000)
+
+
+def q05_sessions_gap300(spark, sf_dir):
+    return _sessions(spark, sf_dir, 300_000)
+
+
+def q06_rollup_1m(spark, sf_dir):
+    return _rollup(spark, sf_dir, "minute")
+
+
+def q07_rollup_1h(spark, sf_dir):
+    # cascade path: 1h tier from the 1m tier (continuous-aggregate refresh
+    # shape) — the oracle aggregates straight from states; equality IS the
+    # cascade invariant.
+    r1m = bucket_rollup(states_only(_decoded(spark, sf_dir)), "minute")
+    return cascade(r1m, "hour").drop("first_fp", "last_fp")
+
+
+def q08_rollup_1d(spark, sf_dir):
+    r1m = bucket_rollup(states_only(_decoded(spark, sf_dir)), "minute")
+    return cascade(cascade(r1m, "hour"), "day").drop("first_fp", "last_fp")
+
+
+def q09_gapfill_1h(spark, sf_dir):
+    return gapfill_locf(_rollup(spark, sf_dir, "hour"), "hour")
+
+
+def q10_retention_1h(spark, sf_dir):
+    r = _rollup(spark, sf_dir, "hour")
+    mx = r.agg(F.max("bucket_start").alias("bmax"))
+    return (
+        r.crossJoin(F.broadcast(mx))
+        .filter(F.col("bucket_start") >= F.col("bmax") - F.expr("interval 240 hours"))
+        .drop("bmax")
+    )
+
+
+def q11_validation_gate(spark, sf_dir):
+    """Broadcast-join validation gate (tracker main.go:118-123; J2)."""
+    st = states_only(_decoded(spark, sf_dir))
+    dim = (
+        st.select("key").distinct()
+        .withColumn("valid", F.col("key") % 10 != 7)
+    )
+    gated = st.join(F.broadcast(dim), "key", "left").filter(F.col("valid"))
+    return gated.groupBy("source").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("n_tok").cast("bigint").alias("n_tok_sum"),
+    )
+
+
+def q12_active_sessions(spark, sf_dir):
+    s = sessionize(_merged(spark, sf_dir), gap_ms=30_000, close_trailing=False)
+    return (
+        s.filter(F.col("is_trailing"))
+        .groupBy("session_id", "source", "key")
+        .agg(F.min("ts").alias("started_at"), F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+def q13_archive_daily(spark, sf_dir):
+    d = _decoded(spark, sf_dir).filter(F.col("ts").isNotNull())
+    return d.groupBy(
+        F.date_trunc("day", "ts").alias("log_date"), "source"
+    ).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        (F.sum("n_tok") * 4).cast("bigint").alias("raw_bytes"),
+    )
+
+
+def q14_range_scan(spark, sf_dir):
+    m = _merged(spark, sf_dir)
+    return (
+        m.filter(
+            F.col("ts").between("2024-01-02 00:00:00", "2024-01-05 00:00:00")
+        )
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.max("altitude_m").alias("max_altitude"))
+    )
+
+
+# --- training-data pipeline queries (documents / embeddings) ---------------
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _embs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def q20_dedup_exact(spark, sf_dir):
+    return dd.exact_dedup(_docs(spark, sf_dir))
+
+
+def q21_ngram_jaccard(spark, sf_dir):
+    return dd.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.2)
+
+
+def q22_minhash_lsh(spark, sf_dir):
+    return dd.minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.2)
+
+
+def q24_embedding_neardup(spark, sf_dir):
+    return sim.cosine_neardup_pairs(_embs(spark, sf_dir), threshold=0.999)
+
+
+def q25_text_quality(spark, sf_dir):
+    return tx.text_quality(_docs(spark, sf_dir))
+
+
+# Engine-only queries (no SQL oracle — driver records rows-only checks):
+# q23 simhash (xxhash64 bit votes), q26 ANN top-k (float ranking),
+# q27 rolling-hash fingerprints, q29 language heuristic.
+
+def q23_simhash(spark, sf_dir):
+    return dd.simhash64(_docs(spark, sf_dir))
+
+
+def q26_ann_topk(spark, sf_dir):
+    from sbse.session import ensure_shipped
+    ensure_shipped(spark)
+    return sim.ann_topk_bruteforce(_embs(spark, sf_dir), k=5)
+
+
+def q27_doc_fingerprint(spark, sf_dir):
+    from sbse.session import ensure_shipped
+    ensure_shipped(spark)
+    return tx.doc_fingerprint(_docs(spark, sf_dir))
+
+
+def q28_multimodal_features(spark, sf_dir):
+    from sbse.session import ensure_shipped
+    from sbse.datapipe import multimodal as mm
+    ensure_shipped(spark)
+    return mm.extract_features(mm.to_binary_payload(_docs(spark, sf_dir)))
+
+
+def q29_lang_guess(spark, sf_dir):
+    return tx.lang_guess(_docs(spark, sf_dir))
+
+
+def all_queries():
+    return {
+        "q01_decode": q01_decode,
+        "q02_metrics": q02_metrics,
+        "q03_state_final": q03_state_final,
+        "q04_sessions_gap30": q04_sessions_gap30,
+        "q05_sessions_gap300": q05_sessions_gap300,
+        "q06_rollup_1m": q06_rollup_1m,
+        "q07_rollup_1h": q07_rollup_1h,
+        "q08_rollup_1d": q08_rollup_1d,
+        "q09_gapfill_1h": q09_gapfill_1h,
+        "q10_retention_1h": q10_retention_1h,
+        "q11_validation_gate": q11_validation_gate,
+        "q12_active_sessions": q12_active_sessions,
+        "q13_archive_daily": q13_archive_daily,
+        "q14_range_scan": q14_range_scan,
+        "q20_dedup_exact": q20_dedup_exact,
+        "q21_ngram_jaccard": q21_ngram_jaccard,
+        "q22_minhash_lsh": q22_minhash_lsh,
+        "q23_simhash": q23_simhash,
+        "q24_embedding_neardup": q24_embedding_neardup,
+        "q25_text_quality": q25_text_quality,
+        "q26_ann_topk": q26_ann_topk,
+        "q27_doc_fingerprint": q27_doc_fingerprint,
+        "q28_multimodal_features": q28_multimodal_features,
+        "q29_lang_guess": q29_lang_guess,
+    }

@@ -1,0 +1,121 @@
+"""Time-bucketed rollups, the 1m->1h->1d continuous-aggregate cascade, and
+LOCF gap-fill over bucket grids.
+
+Mirrors the reference's TimescaleDB continuous aggregates
+(internal/db/migrations/002_retention_policies.go:13-37 —
+``aircraft_states_hourly`` COUNT rollup, ``system_stats_daily`` SUM rollup)
+plus the north-star additions: a 1-minute tier, first/last token
+fingerprints per bucket, and ``time_bucket_gapfill``+``locf`` analogs.
+
+Scale notes:
+* each tier aggregates the PREVIOUS tier (1h from 1m, 1d from 1h) — the
+  incremental-refresh shape of continuous aggregates; at 100 TB the 1m tier
+  is ~1e5x smaller than raw, so the cascade is nearly free;
+* partial (map-side) aggregation applies to every groupBy here;
+* the gap-fill spine is generated per (source, key) from min/max bucket —
+  explode(sequence(...)) — and joined back; the LOCF pass shares the
+  (source, key) partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from sbse.sessionize import ord_col
+
+TIER_UNITS = {"1m": "minute", "1h": "hour", "1d": "day"}
+_STEP_INTERVAL = {"minute": "interval 1 minute", "hour": "interval 1 hour",
+                  "day": "interval 1 day"}
+
+
+def bucket_rollup(states: DataFrame, unit: str = "minute") -> DataFrame:
+    """Base rollup straight from (merged) states: per (source, key, bucket).
+
+    first_fp/last_fp are xxhash64 fingerprints of the first/last row's token
+    array in arrival order (FIXTURES.md F4) — the token-stream identity the
+    north star tracks through every tier.
+    """
+    e = states.withColumn("ord", ord_col()).withColumn(
+        "bucket_start", F.date_trunc(unit, F.col("ts"))
+    )
+    fp = F.xxhash64(F.col("tokens"))
+    e = e.withColumn("fp", fp)
+    return e.groupBy("source", "key", "bucket_start").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("n_tok").cast("bigint").alias("n_tok_sum"),
+        F.min("n_tok").alias("n_tok_min"),
+        F.max("n_tok").alias("n_tok_max"),
+        F.expr("min_by(n_tok, ord)").alias("first_ntok"),
+        F.expr("max_by(n_tok, ord)").alias("last_ntok"),
+        F.expr("min_by(fp, ord)").alias("first_fp"),
+        F.expr("max_by(fp, ord)").alias("last_fp"),
+    )
+
+
+def cascade(tier: DataFrame, unit: str) -> DataFrame:
+    """Aggregate a finer tier into a coarser one (1m->1h, 1h->1d).
+
+    cnt/n_tok_sum re-sum; min/max re-extremize; first_*/last_* take the
+    earliest/latest child bucket's values — exactly re-aggregation of the
+    finer tier, so tier(raw) == cascade(tier_finer) (cascade invariant,
+    FIXTURES.md F4)."""
+    return (
+        tier.withColumn("parent", F.date_trunc(unit, F.col("bucket_start")))
+        .groupBy("source", "key", "parent")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("cnt"),
+            F.sum("n_tok_sum").cast("bigint").alias("n_tok_sum"),
+            F.min("n_tok_min").alias("n_tok_min"),
+            F.max("n_tok_max").alias("n_tok_max"),
+            F.expr("min_by(first_ntok, bucket_start)").alias("first_ntok"),
+            F.expr("max_by(last_ntok, bucket_start)").alias("last_ntok"),
+            F.expr("min_by(first_fp, bucket_start)").alias("first_fp"),
+            F.expr("max_by(last_fp, bucket_start)").alias("last_fp"),
+        )
+        .withColumnRenamed("parent", "bucket_start")
+    )
+
+
+def gapfill_locf(tier: DataFrame, unit: str = "minute") -> DataFrame:
+    """time_bucket_gapfill + locf analog (TimescaleDB; SURVEY.md §2.5 W5).
+
+    Emits one row per (source, key, bucket) on the key's [min, max] bucket
+    spine; missing buckets get cnt=0/n_tok_sum=0, is_gap=true, and
+    last_ntok carried forward (LOCF).
+    """
+    step = _STEP_INTERVAL[unit]
+    spine = (
+        tier.groupBy("source", "key")
+        .agg(F.min("bucket_start").alias("b0"), F.max("bucket_start").alias("b1"))
+        .select(
+            "source",
+            "key",
+            F.explode(
+                F.sequence(F.col("b0"), F.col("b1"), F.expr(step))
+            ).alias("bucket_start"),
+        )
+    )
+    j = spine.join(tier, ["source", "key", "bucket_start"], "left")
+    w = (
+        Window.partitionBy("source", "key")
+        .orderBy("bucket_start")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return j.select(
+        "source",
+        "key",
+        "bucket_start",
+        F.coalesce("cnt", F.lit(0)).alias("cnt"),
+        F.coalesce("n_tok_sum", F.lit(0)).alias("n_tok_sum"),
+        F.col("cnt").isNull().alias("is_gap"),
+        F.last("last_ntok", ignorenulls=True).over(w).alias("last_ntok_locf"),
+    )
+
+
+def tier_tables(states: DataFrame) -> dict[str, DataFrame]:
+    """The full retention-tier cascade: raw states -> 1m -> 1h -> 1d."""
+    r1m = bucket_rollup(states, "minute")
+    r1h = cascade(r1m, "hour")
+    r1d = cascade(r1h, "day")
+    return {"1m": r1m, "1h": r1h, "1d": r1d}

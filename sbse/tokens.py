@@ -1,0 +1,50 @@
+"""Token-table sources.
+
+``token_table_from_events`` projects the harness ``events`` parquet into the
+engine's canonical input shape via the shared dialect SQL (so the DuckDB
+oracle reproduces it bit-for-bit). ``synth`` generates an arbitrary-size
+deterministic token table from ``spark.range`` (seedless pure arithmetic — no
+wall clock, no uuid) for unit fixtures and the bench harness; its row mix
+follows FIXTURES.md F1 with a skewed ``source`` distribution (src-00 ~50%).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from sbse import EPOCH0_S
+from sbse.dialect import SPARK, token_table_sql
+
+TOKEN_SCHEMA_DDL = "doc_id string, tokens array<int>, n_tok int, source string"
+
+
+def token_table_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.read.parquet(f"{sf_dir}/events.parquet").createOrReplaceTempView(
+        "sbse_events_src"
+    )
+    return spark.sql(token_table_sql(SPARK, "sbse_events_src"))
+
+
+def synth(spark: SparkSession, n_rows: int, n_keys: int = 100,
+          spread_s: int = 6 * 3600) -> DataFrame:
+    """Deterministic synthetic token table of ``n_rows`` rows.
+
+    Emulates the events-projection base columns from pure arithmetic on the
+    row index: a multiplicative-hash pseudo-random ``v``/``u`` and event
+    seconds spread over ``spread_s`` so gap-based sessions actually form.
+    """
+    base = (
+        f"SELECT id AS i, "
+        f"CAST((id * 2654435761) % 1000000007 AS DOUBLE) / 1000.0 AS v, "
+        f"(id * 40503) % {n_keys * 10} AS u, "
+        f"{EPOCH0_S} + ((id * 48271) % {spread_s}) AS s0 "
+        f"FROM range({n_rows})"
+    )
+    # Reuse the shared projection but swap in the synthetic base.
+    sql = token_table_sql(SPARK, "__IGNORED__").replace(
+        "SELECT event_id AS i, value AS v, user_id AS u, "
+        "unix_timestamp(ts) AS s0 FROM __IGNORED__",
+        base,
+    )
+    assert "__IGNORED__" not in sql, "synth base substitution failed"
+    return spark.sql(sql)
