@@ -129,7 +129,12 @@ def _decode_arrow(df: DataFrame) -> DataFrame:
             lon = np.where(is_msg & (mt == 8), fz(16), 0).astype("float64")
             vrate = np.where(is_msg & (mt == 8), fz(17), 0)
             sq_raw, _ = field(18)
-            sq = np.char.zfill(sq_raw.astype("U12"), 4)
+            sq_s = sq_raw.astype("U12")
+            # %04d pad WITHOUT truncation (np.char.zfill truncates to width)
+            pref = np.array(["", "0", "00", "000", "0000"])[
+                np.clip(4 - np.char.str_len(sq_s), 0, 4)
+            ]
+            sq = np.char.add(pref, sq_s)
             squawk = np.where(is_msg & (mt == 8) & (sq_raw != SENT), sq, "")
             t22, _ = field(22)
             on_ground = is_msg & np.isin(mt, (8, 9)) & (n_tok > 22) & (t22 == 1)

@@ -41,7 +41,10 @@ def run_metrics(decoded: DataFrame, sessions: DataFrame | None = None) -> DataFr
         .cast("bigint")
         .alias("stored_states"),
         F.countDistinct(
-            F.when(F.col("ok"), F.concat_ws("|", "source", F.col("key").cast("string")))
+            F.when(
+                F.col("ok") & F.col("key").isNotNull(),
+                F.concat_ws("|", "source", F.col("key").cast("string")),
+            )
         ).alias("active_keys"),
         hist,
     ]

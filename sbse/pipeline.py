@@ -28,6 +28,7 @@ def run_pipeline(
     validation: DataFrame | None = None,
     default_valid: bool = True,
     with_gorilla: bool = True,
+    cache_tiers: bool = False,
 ) -> dict[str, DataFrame]:
     """Returns the pipeline's output tables as DataFrames (lazy).
 
@@ -50,6 +51,16 @@ def run_pipeline(
     sess_events = sessionize(merged, gap_ms=gap_ms, close_trailing=close_trailing)
     sessions = session_rollup(sess_events)
     tiers = tier_tables(merged)
+    if cache_tiers:
+        # The cascade re-aggregates tiers (1m -> 1h -> 1d -> gapfill); the
+        # tier tables are ~1e3-1e5x smaller than raw, so caching them (NOT
+        # the wide per-event states — measured slower) collapses four
+        # actions into one scan of the raw data plus trivia.
+        tiers["1m"] = tiers["1m"].persist()
+        from sbse.rollup import cascade
+
+        tiers["1h"] = cascade(tiers["1m"], "hour").persist()
+        tiers["1d"] = cascade(tiers["1h"], "day")
     out: dict[str, DataFrame] = {
         "decoded": decoded,
         "states": merged,

@@ -23,7 +23,12 @@ from sbse.datapipe import text as tx
 
 
 def _decoded(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return decode(token_table_from_events(spark, sf_dir), mode="expr")
+    # localCheckpoint breaks the fused synth->decode expression tree: the
+    # inline token projection is a test-harness artifact (production input is
+    # a real table); fusing it into decode blows the 64KB codegen method
+    # limit and drops the whole stage to interpreted mode.
+    tok = token_table_from_events(spark, sf_dir).localCheckpoint(eager=False)
+    return decode(tok, mode="expr")
 
 
 def _merged(spark: SparkSession, sf_dir: str) -> DataFrame:

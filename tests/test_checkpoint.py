@@ -1,0 +1,83 @@
+"""F6 checkpoint-resume: a killed run resumes with zero recomputation of
+completed partitions and produces output identical to an uninterrupted run
+(ledger pattern: migrations.go:112-135)."""
+
+import glob
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _mini_pipeline(subset):
+    from sbse.pipeline import run_pipeline
+
+    out = run_pipeline(subset, decode_mode="expr", with_gorilla=False)
+    return {"sessions": out["sessions"], "rollup_1m": out["rollup_1m"]}
+
+
+def _read_all(spark, warehouse, table):
+    df = spark.read.parquet(*glob.glob(f"{warehouse}/{table}/ck_part=*"))
+    return sorted(map(str, df.collect()))
+
+
+def test_kill_resume_identical(spark, tmp_path):
+    from sbse.checkpoint import run_partitioned
+    from sbse.tokens import synth
+
+    tok = synth(spark, 1500)
+    wh_ref = str(tmp_path / "ref")
+    wh_killed = str(tmp_path / "killed")
+
+    # uninterrupted reference run
+    s = run_partitioned(tok, _mini_pipeline, wh_ref, "run", n_parts=4)
+    assert set(s.values()) == {"computed"}
+
+    # killed run: crash after 2 partitions
+    calls = {"n": 0}
+
+    def crashing(subset):
+        if calls["n"] == 2:
+            raise RuntimeError("simulated kill")
+        calls["n"] += 1
+        return _mini_pipeline(subset)
+
+    with pytest.raises(RuntimeError, match="simulated kill"):
+        run_partitioned(tok, crashing, wh_killed, "run", n_parts=4)
+    done = glob.glob(f"{wh_killed}/_manifests/run/part-*.json")
+    assert len(done) == 2  # manifests only for completed partitions
+
+    # resume: completed partitions skipped, rest computed
+    s2 = run_partitioned(tok, _mini_pipeline, wh_killed, "run", n_parts=4)
+    assert sorted(s2.values()) == ["computed", "computed", "skipped", "skipped"]
+
+    for table in ("sessions", "rollup_1m"):
+        assert _read_all(spark, wh_killed, table) == _read_all(spark, wh_ref, table)
+
+
+def test_fingerprint_invalidates_on_input_change(spark, tmp_path):
+    from sbse.checkpoint import run_partitioned
+    from sbse.tokens import synth
+
+    wh = str(tmp_path / "wh")
+    run_partitioned(synth(spark, 800), _mini_pipeline, wh, "r", n_parts=2)
+    # same run id, different input -> both partitions recompute
+    s = run_partitioned(synth(spark, 900), _mini_pipeline, wh, "r", n_parts=2)
+    assert set(s.values()) == {"computed"}
+    # and stale manifests were replaced with the new fingerprint
+    for p in range(2):
+        m = json.load(open(f"{wh}/_manifests/r/part-{p}.json"))
+        assert m["input_rows"] > 0
+
+
+def test_partition_labels_content_stable(spark):
+    """ck_part is content-derived: same row -> same partition regardless of
+    DataFrame partitioning (resume must survive cluster-size changes)."""
+    from sbse.skew import checkpoint_partition
+    from sbse.tokens import synth
+
+    tok = synth(spark, 500)
+    a = {r.doc_id: r.ck_part for r in checkpoint_partition(tok, 8).collect()}
+    b = {r.doc_id: r.ck_part
+         for r in checkpoint_partition(tok.repartition(11), 8).collect()}
+    assert a == b

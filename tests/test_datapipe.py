@@ -1,0 +1,158 @@
+"""Training-data pipeline operators: dedup (exact / Jaccard / MinHash-LSH /
+SimHash), similarity search (brute force + LSH recall), text analysis,
+multimodal plumbing — on planted fixtures with known answers."""
+
+import pytest
+from pyspark.sql import functions as F
+
+DOC_SCHEMA = "doc_id bigint, text string, lang string, source string, n_chars bigint"
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        [(i, t, "en", "s0", len(t)) for i, t in enumerate(rows)], DOC_SCHEMA
+    )
+
+
+BASE = "the quick brown fox jumps over the lazy dog again and again every day"
+NEAR = "the quick brown fox jumps over the lazy cat again and again every day"
+OTHER = "completely different words about spark rollup tiers and gorilla codecs"
+
+
+def test_exact_dedup(spark):
+    from sbse.datapipe.dedup import exact_dedup
+
+    d = _docs(spark, [BASE, BASE, NEAR, OTHER])
+    out = {r.keeper_doc_id: (r.n_copies, r.n_dropped)
+           for r in exact_dedup(d).collect()}
+    assert out[0] == (2, 1)   # two exact copies of BASE, keeper = min id
+    assert out[2] == (1, 0)
+    assert out[3] == (1, 0)
+
+
+def test_ngram_jaccard_finds_near_dup(spark):
+    from sbse.datapipe.dedup import ngram_jaccard_pairs
+
+    d = _docs(spark, [BASE, NEAR, OTHER])
+    pairs = {(r.doc_a, r.doc_b): r.jaccard
+             for r in ngram_jaccard_pairs(d, threshold=0.2).collect()}
+    assert (0, 1) in pairs
+    assert pairs[(0, 1)] > 0.5
+    assert all(OTHER_id not in p for p in pairs for OTHER_id in (2,))
+
+
+def test_minhash_lsh_matches_exact_jaccard(spark):
+    """LSH candidates' verified jaccard equals the exact all-pairs jaccard
+    for every surviving pair (no false positives after verification)."""
+    from sbse.datapipe.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
+
+    d = _docs(spark, [BASE, NEAR, OTHER, BASE + " extra tail words here"])
+    exact = {(r.doc_a, r.doc_b): round(r.jaccard, 9)
+             for r in ngram_jaccard_pairs(d, threshold=0.2).collect()}
+    lsh = {(r.doc_a, r.doc_b): round(r.jaccard, 9)
+           for r in minhash_lsh_pairs(d, threshold=0.2).collect()}
+    # every LSH pair is exact-correct; high-sim pairs are recalled
+    for pair, j in lsh.items():
+        assert exact[pair] == j
+    assert (0, 1) in lsh
+    assert (0, 3) in lsh
+
+
+def test_simhash(spark):
+    from sbse.datapipe.dedup import simhash64, simhash_candidates
+
+    d = _docs(spark, [BASE, BASE, NEAR, OTHER])
+    sims = simhash64(d)
+    by_id = {r.doc_id: r.simhash for r in sims.collect()}
+    assert by_id[0] == by_id[1]  # identical docs -> identical simhash
+    ham_near = bin(by_id[0] ^ by_id[2]).count("1")
+    ham_far = bin(by_id[0] ^ by_id[3]).count("1")
+    assert ham_near < ham_far
+    cands = {(r.doc_a, r.doc_b): r.hamming
+             for r in simhash_candidates(sims, max_hamming=16).collect()}
+    assert cands[(0, 1)] == 0
+    assert (0, 2) in cands
+
+
+EMB_SCHEMA = "vec_id bigint, embedding array<float>, label int"
+
+
+def _embs(spark):
+    import math
+
+    rows = []
+    # two tight clusters + one outlier, 8-dim
+    for i in range(5):
+        rows.append((i, [1.0, 0.0, 0.0, 0.0, 0.001 * i, 0.0, 0.0, 0.0], 0))
+    for i in range(5, 10):
+        rows.append((i, [0.0, 1.0, 0.0, 0.0, 0.0, 0.001 * i, 0.0, 0.0], 1))
+    rows.append((10, [0.0, 0.0, 1.0, 1.0, 1.0, -1.0, 0.5, 0.25], 2))
+    return spark.createDataFrame(rows, EMB_SCHEMA)
+
+
+def test_cosine_neardup_pairs(spark):
+    from sbse.datapipe.similarity import cosine_neardup_pairs
+
+    pairs = {(r.id_a, r.id_b)
+             for r in cosine_neardup_pairs(_embs(spark), threshold=0.999).collect()}
+    assert (0, 1) in pairs and (5, 6) in pairs
+    assert not any(a < 5 <= b for a, b in pairs)  # no cross-cluster pairs
+
+
+def test_ann_bruteforce_and_lsh_recall(spark):
+    from sbse.datapipe.similarity import ann_topk_bruteforce, ann_topk_lsh
+
+    embs = _embs(spark)
+    exact = ann_topk_bruteforce(embs, k=3)
+    got = {(r.q_id, r.neighbor_id) for r in exact.collect()}
+    # every in-cluster query's neighbors stay in-cluster
+    for q, n in got:
+        if q < 5:
+            assert n < 5
+        elif q < 10:
+            assert 5 <= n < 10
+    approx = ann_topk_lsh(embs, k=3, n_planes=4, dim=8)
+    got_a = {(r.q_id, r.neighbor_id) for r in approx.collect()}
+    recall = len(got_a & got) / len(got)
+    assert recall >= 0.8, f"LSH recall {recall}"
+
+
+def test_text_quality_and_lang(spark):
+    from sbse.datapipe.text import lang_guess, text_quality
+
+    d = _docs(spark, [BASE])
+    r = text_quality(d).collect()[0]
+    assert r.n_words_ws == len(BASE.split(" "))
+    assert r.n_chars == len(BASE)
+    assert r.n_the == BASE.count(" the ")
+    assert r.n_alpha_tokens == len(BASE.split())
+    g = lang_guess(d).collect()[0]
+    assert g.lang_guess == "en"
+
+
+def test_doc_fingerprint_deterministic(spark):
+    from sbse.datapipe.text import doc_fingerprint
+
+    d = _docs(spark, [BASE, BASE, NEAR, "tiny"])
+    fps = {r.doc_id: r.fingerprint for r in doc_fingerprint(d).collect()}
+    assert fps[0] == fps[1]              # identical text -> identical mark
+    assert fps[0] != fps[3]
+    again = {r.doc_id: r.fingerprint for r in doc_fingerprint(d).collect()}
+    assert fps == again
+
+
+def test_multimodal_plumbing(spark):
+    from sbse.datapipe.multimodal import (decode_media, extract_features,
+                                          to_binary_payload)
+
+    d = _docs(spark, [BASE, OTHER])
+    media = to_binary_payload(d)
+    row = media.collect()[0]
+    assert bytes(row.payload).decode() in (BASE, OTHER)
+    assert row.meta.mime == "text/plain"
+    feats = {r.doc_id: r for r in extract_features(media).collect()}
+    assert feats[0].n_bytes == len(BASE.encode())
+    assert feats[0].byte_sum == sum(BASE.encode())
+    assert feats[0].fake_feature == sum(BASE.encode()) % 997
+    with pytest.raises(NotImplementedError):
+        decode_media(media, "image")

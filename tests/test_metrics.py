@@ -1,0 +1,67 @@
+"""F5 run-metrics fixtures (stats.go:69-154 semantics) with counters
+recomputed independently in Python."""
+
+from pyspark.sql import functions as F
+
+from tests.ref_decoder import decode_row
+
+
+def test_counters_match_independent_decode(spark):
+    from sbse.decode import decode
+    from sbse.metrics import run_metrics
+    from sbse.tokens import synth
+
+    tok = synth(spark, 1000)
+    rows = tok.collect()
+    ref = [decode_row(r.doc_id, list(r.tokens), r.n_tok, r.source) for r in rows]
+    exp_parsed = sum(1 for r in ref if r["ok"])
+    exp_failed = sum(1 for r in ref if not r["ok"])
+    exp_stored = sum(1 for r in ref if r["ok"] and r["key"] is not None)
+    exp_hist = [
+        sum(1 for r in ref if r["ok"] and r["msg_type"] == i) for i in range(10)
+    ]
+    exp_keys = len({(r["source"], r["key"]) for r in ref
+                    if r["ok"] and r["key"] is not None})
+
+    m = run_metrics(decode(tok, "expr")).collect()[0]
+    assert m.total_rows == 1000
+    assert m.parsed_rows == exp_parsed
+    assert m.failed_rows == exp_failed
+    assert m.stored_states == exp_stored
+    assert m.active_keys == exp_keys
+    assert list(m.msg_type_counts) == exp_hist
+    # msg types 10..12 exist but are dropped from the histogram
+    # (stats.go:89-93: index out of [0,10) silently ignored)
+    assert sum(exp_hist) < exp_parsed
+
+
+def test_session_counters(spark):
+    from sbse.decode import decode
+    from sbse.metrics import run_metrics
+    from sbse.pipeline import run_pipeline
+    from sbse.tokens import synth
+
+    tok = synth(spark, 500)
+    out = run_pipeline(tok, decode_mode="expr", close_trailing=False,
+                       with_gorilla=False)
+    m = run_metrics(out["decoded"], out["sessions"]).collect()[0]
+    s = out["sessions"]
+    assert m.created_sessions == s.count()
+    assert m.ended_sessions == s.filter(F.col("ended_at").isNotNull()).count()
+    assert m.active_sessions == s.filter(F.col("is_open")).count()
+    assert m.ended_sessions + m.active_sessions >= m.created_sessions
+
+
+def test_clamps(spark):
+    """uint64->int64 persist clamp and negative->0 read clamp
+    (db/client.go:131-139, 227-235; edge vectors client_test.go:1017-1057)."""
+    from sbse.metrics import I64_MAX, clamp_read, clamp_u64
+
+    df = spark.createDataFrame(
+        [(0,), (999999999,), (-5,), (I64_MAX,)], "v bigint"
+    ).select(
+        clamp_u64(F.col("v")).alias("persisted"),
+        clamp_read(F.col("v")).alias("read_back"),
+    )
+    got = sorted((r.persisted, r.read_back) for r in df.collect())
+    assert got == [(-5, 0), (0, 0), (999999999, 999999999), (I64_MAX, I64_MAX)]

@@ -1,0 +1,104 @@
+"""F4 rollup/tier fixtures: cascade invariant, gap-fill LOCF, fingerprints."""
+
+from pyspark.sql import functions as F
+
+from tests.conftest import make_token_rows
+from tests.test_sessionize import mk
+
+
+def _states(spark, n=400):
+    from sbse.decode import decode
+    from sbse.sessionize import locf_merge, states_only
+    from sbse.tokens import synth
+
+    return locf_merge(states_only(decode(synth(spark, n), "expr")))
+
+
+def test_cascade_invariant(spark):
+    """1h tier computed from the 1m tier == 1h tier computed from raw states
+    (continuous-aggregate refresh correctness, migrations/002 analog)."""
+    from sbse.rollup import bucket_rollup, cascade
+
+    st = _states(spark)
+    direct_1h = bucket_rollup(st, "hour")
+    cascaded_1h = cascade(bucket_rollup(st, "minute"), "hour")
+    assert sorted(map(str, direct_1h.collect())) == sorted(map(str, cascaded_1h.collect()))
+    direct_1d = bucket_rollup(st, "day")
+    cascaded_1d = cascade(cascaded_1h, "day")
+    assert sorted(map(str, direct_1d.collect())) == sorted(map(str, cascaded_1d.collect()))
+
+
+def test_tier_counts_conserve_rows(spark):
+    from sbse.rollup import tier_tables
+
+    st = _states(spark)
+    n = st.count()
+    tiers = tier_tables(st)
+    for name, t in tiers.items():
+        assert t.agg(F.sum("cnt")).collect()[0][0] == n, name
+
+
+def test_fingerprints_follow_arrival_order(spark):
+    """first_fp/last_fp = xxhash64 of the first/last token array per bucket
+    in (ts, seq) order."""
+    from sbse.decode import decode
+    from sbse.rollup import bucket_rollup
+    from sbse.sessionize import states_only
+
+    rows = [mk(0, 0, key=1, alt=100), mk(1, 30, key=1, alt=200),
+            mk(2, 59, key=1, alt=300)]
+    df = make_token_rows(spark, rows)
+    st = states_only(decode(df, "expr"))
+    r = bucket_rollup(st, "minute").collect()
+    assert len(r) == 1
+    fps = {row.doc_id: row.fp for row in st.withColumn(
+        "fp", F.xxhash64("tokens")).collect()}
+    assert r[0].first_fp == fps["d000000000000"]
+    assert r[0].last_fp == fps["d000000000002"]
+    assert r[0].first_fp != r[0].last_fp
+
+
+def test_gapfill_locf(spark):
+    """Missing buckets appear with cnt=0, is_gap, and LOCF-carried value
+    (time_bucket_gapfill + locf analog, SURVEY.md §2.5 W5)."""
+    from sbse.decode import decode
+    from sbse.rollup import bucket_rollup, gapfill_locf
+    from sbse.sessionize import states_only
+
+    # events in minutes 0, 1, and 4 -> buckets 2,3 are gaps
+    rows = [mk(0, 10, key=1), mk(1, 70, key=1, alt=5), mk(2, 250, key=1)]
+    df = make_token_rows(spark, rows)
+    r1m = bucket_rollup(states_only(decode(df, "expr")), "minute")
+    filled = gapfill_locf(r1m, "minute").orderBy("bucket_start").collect()
+    assert len(filled) == 5
+    assert [r.cnt for r in filled] == [1, 1, 0, 0, 1]
+    assert [r.is_gap for r in filled] == [False, False, True, True, False]
+    # LOCF: gap buckets carry minute-1's last_ntok
+    assert filled[2].last_ntok_locf == filled[1].last_ntok_locf == 23
+    assert [r.n_tok_sum for r in filled] == [23, 23, 0, 0, 23]
+
+
+def test_retention_horizon(spark):
+    from sbse.retention import retain
+    from sbse.rollup import bucket_rollup
+    from sbse.decode import decode
+    from sbse.sessionize import states_only
+
+    rows = [mk(0, 0, key=1), mk(1, 86400 * 40, key=1)]  # 40 days apart
+    df = make_token_rows(spark, rows)
+    r1d = bucket_rollup(states_only(decode(df, "expr")), "day")
+    kept = retain(r1d, now_ts="2023-02-10 00:00:00", horizon_days=30)
+    assert kept.count() == 1
+    assert r1d.count() == 2
+
+
+def test_expire_partitions(tmp_path, spark):
+    from sbse.retention import expire_partitions
+
+    base = tmp_path / "tbl"
+    for d in ("2023-01-01", "2023-01-02", "2023-02-01"):
+        (base / f"log_date={d}").mkdir(parents=True)
+        (base / f"log_date={d}" / "x.parquet").write_bytes(b"")
+    dropped = expire_partitions(str(base), keep=lambda v: v >= "2023-01-15")
+    assert dropped == ["2023-01-01", "2023-01-02"]
+    assert sorted(p.name for p in base.iterdir()) == ["log_date=2023-02-01"]
