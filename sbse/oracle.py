@@ -198,6 +198,23 @@ SELECT date_trunc('day', ts) AS log_date, source,
   count(*) AS cnt, CAST(sum(n_tok) * 4 AS BIGINT) AS raw_bytes
 FROM dec WHERE ts IS NOT NULL GROUP BY date_trunc('day', ts), source"""
 
+    # J1 re-attribution: interval join of states to session ranges.
+    q["q15_interval_join"] = f"""{p30},
+sess AS ({_SESSION_SELECT.format(ended_at="max(ts)")})
+SELECT s.session_id, count(*) AS n_attributed
+FROM o e JOIN sess s
+  ON e.source = s.source AND e.key = s.key
+ AND e.ts BETWEEN s.started_at AND s.ended_at
+GROUP BY s.session_id"""
+
+    # As-of join: latest session open at-or-before each state's ts.
+    q["q16_asof_join"] = f"""{p30},
+sess AS ({_SESSION_SELECT.format(ended_at="max(ts)")})
+SELECT e.doc_id, max(s.started_at) AS asof_session_start
+FROM o e JOIN sess s
+  ON e.source = s.source AND e.key = s.key AND s.started_at <= e.ts
+GROUP BY e.doc_id"""
+
     # Metrics range scan (GetSystemStats BETWEEN, db/client.go:167-257).
     q["q14_range_scan"] = f"""{p30}
 SELECT key, count(*) AS cnt, max(altitude_m) AS max_altitude

@@ -164,6 +164,45 @@ def q13_archive_daily(spark, sf_dir):
     )
 
 
+def q15_interval_join(spark, sf_dir):
+    """J1 re-attribution: interval-join states back to their sessions; the
+    per-session attributed count must equal n_events (tested by the oracle
+    computing the same join in SQL)."""
+    from sbse.joins import attribute_events_to_sessions
+
+    m = _merged(spark, sf_dir)
+    s = sessionize(m, gap_ms=30_000, close_trailing=True)
+    sessions = session_rollup(s)
+    attributed = attribute_events_to_sessions(
+        m.select("source", "key", "ts", "seq"), sessions
+    )
+    return attributed.groupBy("session_id").agg(
+        F.count(F.lit(1)).alias("n_attributed")
+    )
+
+
+def q16_asof_join(spark, sf_dir):
+    """As-of join (union + window LOCF): each state joined to the latest
+    session open at-or-before its ts."""
+    from sbse.joins import asof_join
+
+    m = _merged(spark, sf_dir)
+    s = sessionize(m, gap_ms=30_000, close_trailing=True)
+    opens = (
+        session_rollup(s)
+        .select("source", "key", F.col("started_at").alias("open_ts"))
+    )
+    j = asof_join(
+        m.select("doc_id", "source", "key", "ts"),
+        opens.withColumnRenamed("open_ts", "ts").select(
+            "source", "key", "ts", F.col("ts").alias("asof_session_start")
+        ),
+        keys=["source", "key"],
+        value_cols=["asof_session_start"],
+    )
+    return j.select("doc_id", "asof_session_start")
+
+
 def q14_range_scan(spark, sf_dir):
     m = _merged(spark, sf_dir)
     return (
@@ -252,6 +291,8 @@ def all_queries():
         "q12_active_sessions": q12_active_sessions,
         "q13_archive_daily": q13_archive_daily,
         "q14_range_scan": q14_range_scan,
+        "q15_interval_join": q15_interval_join,
+        "q16_asof_join": q16_asof_join,
         "q20_dedup_exact": q20_dedup_exact,
         "q21_ngram_jaccard": q21_ngram_jaccard,
         "q22_minhash_lsh": q22_minhash_lsh,

@@ -52,11 +52,11 @@ def _w_run():
 
 
 def ord_col() -> Column:
-    """Lexicographic (ts, seq) key, identical to dialect.ord_expr."""
-    return F.concat(
-        F.lpad(F.unix_millis("ts").cast("string"), 14, "0"),
-        F.lpad(F.col("seq").cast("string"), 12, "0"),
-    )
+    """Arrival-order key for engine-side min_by/max_by: a (ts, seq) struct
+    (lexicographic struct comparison). The DuckDB oracle uses the equivalent
+    zero-padded string (dialect.ord_expr) because DuckDB 1.0's max_by cannot
+    order by a row value — the two orderings are identical."""
+    return F.struct(F.col("ts"), F.col("seq"))
 
 
 def states_only(decoded: DataFrame) -> DataFrame:
@@ -135,22 +135,58 @@ def session_rollup(sess_events: DataFrame) -> DataFrame:
     ended_at is NULL for a trailing session when close_trailing=false (the
     reference never closes a session without a successor message —
     SURVEY.md §2.9).
+
+    Implementation is a single window pass, NOT a groupBy: running
+    per-session aggregates over a (source, key, sidx) window — which
+    Catalyst satisfies with the existing hash(source, key) exchange (subset
+    clustering), so no second shuffle — and each session is emitted at its
+    closing row (lead(new_sess) marks it). This mirrors the reference's
+    incremental per-message update + final UPDATE shape.
     """
-    e = sess_events.withColumn("ord", ord_col())
-    agg = e.groupBy("session_id", "source", "key", "is_trailing", "close_trailing").agg(
-        F.min("ts").alias("started_at"),
-        F.max("ts").alias("_last_ts"),
-        F.count(F.lit(1)).alias("n_events"),
-        F.expr("max_by(callsign_m, ord)").alias("callsign"),
-        F.expr("min_by(lat_m, ord)").alias("first_lat"),
-        F.expr("min_by(lon_m, ord)").alias("first_lon"),
-        F.expr("max_by(lat_m, ord)").alias("last_lat"),
-        F.expr("max_by(lon_m, ord)").alias("last_lon"),
-        F.max("altitude_m").alias("max_altitude"),
-        F.max("ground_speed_m").alias("max_ground_speed"),
+    w_key = Window.partitionBy(*KEY_COLS).orderBy("ts", "seq")
+    w_sess = (
+        Window.partitionBy("source", "key", "sidx")
+        .orderBy("ts", "seq")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    e = sess_events.withColumn(
+        "_is_close", F.lead("new_sess", 1, 1).over(w_key) == 1
+    )
+    e = (
+        e.withColumn("_n_events", F.count(F.lit(1)).over(w_sess))
+        .withColumn("_first_lat", F.first("lat_m").over(w_sess))
+        .withColumn("_first_lon", F.first("lon_m").over(w_sess))
+        .withColumn("_max_alt", F.max("altitude_m").over(w_sess))
+        .withColumn("_max_gs", F.max("ground_speed_m").over(w_sess))
+    )
+    agg = e.filter(F.col("_is_close")).select(
+        "source",
+        "key",
+        "sidx",
+        "is_trailing",
+        "close_trailing",
+        F.col("s_start").alias("started_at"),
+        F.col("ts").alias("_last_ts"),
+        F.col("_n_events").alias("n_events"),
+        F.col("callsign_m").alias("callsign"),
+        F.col("_first_lat").alias("first_lat"),
+        F.col("_first_lon").alias("first_lon"),
+        F.col("lat_m").alias("last_lat"),
+        F.col("lon_m").alias("last_lon"),
+        F.col("_max_alt").alias("max_altitude"),
+        F.col("_max_gs").alias("max_ground_speed"),
     )
     return agg.select(
-        "session_id",
+        F.sha2(
+            F.concat_ws(
+                "|",
+                F.col("source"),
+                F.col("key").cast("string"),
+                F.unix_millis("started_at").cast("string"),
+                F.col("sidx").cast("string"),
+            ),
+            256,
+        ).alias("session_id"),
         "source",
         "key",
         "started_at",

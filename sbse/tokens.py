@@ -33,11 +33,14 @@ def synth(spark: SparkSession, n_rows: int, n_keys: int = 100,
     row index: a multiplicative-hash pseudo-random ``v``/``u`` and event
     seconds spread over ``spread_s`` so gap-based sessions actually form.
     """
+    # xxhash64-based mixing: multiplicative congruences produce residue
+    # lattices per (source, key) series (uniform gaps -> degenerate session
+    # structure); hashing gives realistic irregular inter-arrival times.
     base = (
         f"SELECT id AS i, "
-        f"CAST((id * 2654435761) % 1000000007 AS DOUBLE) / 1000.0 AS v, "
-        f"(id * 40503) % {n_keys * 10} AS u, "
-        f"{EPOCH0_S} + ((id * 48271) % {spread_s}) AS s0 "
+        f"CAST(pmod(xxhash64(id), 1000000007) AS DOUBLE) / 1000.0 AS v, "
+        f"pmod(xxhash64(id, 1), {n_keys * 10}) AS u, "
+        f"{EPOCH0_S} + pmod(xxhash64(id, 2), {spread_s}) AS s0 "
         f"FROM range({n_rows})"
     )
     # Reuse the shared projection but swap in the synthetic base.

@@ -70,6 +70,26 @@ def test_fingerprint_invalidates_on_input_change(spark, tmp_path):
         assert m["input_rows"] > 0
 
 
+def test_partitioned_equals_global(spark, tmp_path):
+    """Key-based checkpoint partitioning: the union of per-partition session
+    tables equals one global sessionization (no session straddles a
+    checkpoint boundary — SURVEY.md §7.4 stitching risk eliminated by
+    construction)."""
+    from sbse.checkpoint import run_partitioned
+    from sbse.pipeline import run_pipeline
+    from sbse.tokens import synth
+
+    tok = synth(spark, 1200)
+    wh = str(tmp_path / "wh")
+    run_partitioned(tok, _mini_pipeline, wh, "g", n_parts=4)
+    got = _read_all(spark, wh, "sessions")
+    want = sorted(
+        map(str, run_pipeline(tok, decode_mode="expr",
+                              with_gorilla=False)["sessions"].collect())
+    )
+    assert got == want
+
+
 def test_partition_labels_content_stable(spark):
     """ck_part is content-derived: same row -> same partition regardless of
     DataFrame partitioning (resume must survive cluster-size changes)."""
