@@ -60,6 +60,14 @@ def main() -> None:
     if not os.path.exists(tok_path):
         synth(spark, SYNTH_ROWS).write.mode("overwrite").parquet(tok_path)
     tok = spark.read.parquet(tok_path)
+    # warm-up with the same plan shapes (JIT + codegen compile are
+    # per-process costs that amortize to ~0 in a long-running job)
+    warm = run_pipeline(tok.limit(100_000), decode_mode="expr",
+                        with_gorilla=False, cache_tiers=True)
+    for k in ("sessions", "rollup_1m", "rollup_1d", "gapfill_1h"):
+        warm[k].count()
+    warm["rollup_1m"].unpersist(True)
+    warm["rollup_1h"].unpersist(True)
     t0 = time.monotonic()
     out = run_pipeline(tok, decode_mode="expr", with_gorilla=False,
                        cache_tiers=True)

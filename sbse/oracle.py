@@ -307,7 +307,7 @@ SELECT a.vec_id AS id_a, b.vec_id AS id_b
 FROM n a JOIN n b ON a.vec_id < b.vec_id
 WHERE list_sum(list_transform(list_zip(a.e, b.e),
         p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
-      / (a.nrm * b.nrm) >= 0.999"""
+      / (a.nrm * b.nrm) >= 0.4"""
 
     # Text quality / language heuristics + token counting.
     q["q25_text_quality"] = """

@@ -237,7 +237,11 @@ def q22_minhash_lsh(spark, sf_dir):
 
 
 def q24_embedding_neardup(spark, sf_dir):
-    return sim.cosine_neardup_pairs(_embs(spark, sf_dir), threshold=0.999)
+    # threshold 0.4 chosen for the harness data (max pairwise cosine ≈ 0.51,
+    # p99.9 ≈ 0.377) so the parity check exercises real rows; both engines
+    # fold the dot product sequentially -> bit-identical cosines (verified:
+    # zero symmetric difference at sf0.01).
+    return sim.cosine_neardup_pairs(_embs(spark, sf_dir), threshold=0.4)
 
 
 def q25_text_quality(spark, sf_dir):
