@@ -1,21 +1,37 @@
 """Similarity search over embedding columns (array<float>).
 
-* ``cosine_neardup_pairs`` — exact cosine near-duplicate pairs. The dot
-  product is a strict left-to-right fold (``F.aggregate`` over
-  ``F.zip_with``) so the IEEE result is reproducible and matches the DuckDB
-  oracle's ordered ``list_sum``; output carries ids only (floats stay out of
-  hashed results).
-* ``ann_topk_bruteforce`` — baseline exact top-k neighbors per query id.
-* ``ann_topk_lsh`` — the scale path: random-hyperplane LSH (deterministic,
-  hash-derived pseudo-planes — no RNG), bucket join, within-bucket brute
-  force. At 100 TB the bucket join replaces the full cross product; recall
-  is tested against the brute-force baseline.
+* ``cosine_neardup_pairs`` — EXACT cosine near-duplicate pairs with a
+  scale-sane plan: an IVF-style spherical-cell blocking whose candidate
+  cell pairs are pruned by the spherical triangle inequality, so the result
+  is provably identical to brute force (the DuckDB oracle stays all-pairs)
+  while the physical plan is an equi-join on cell ids — shuffled hash /
+  sort-merge, never BroadcastNestedLoopJoin. At 100 TB with clustered
+  embeddings most cell pairs are pruned; on adversarially isotropic data it
+  degrades to a blocked (still equi-join) pair enumeration, never a driver
+  cartesian.
+* ``ann_topk_bruteforce`` — exact top-k baseline, kept for recall tests
+  only (O(n²); not exposed as a driver query).
+* ``ann_topk_lsh`` — the exposed ANN path: random-hyperplane LSH with
+  md5-derived ±1 plane signs (portable — the DuckDB oracle reproduces the
+  buckets bit-exactly), bucket equi-join, within-bucket brute force.
+
+Dot products are strict left-to-right folds (``F.aggregate`` over
+``F.zip_with``) so IEEE results are reproducible and match DuckDB's ordered
+``list_sum``.
 """
 
 from __future__ import annotations
 
+import hashlib
+import math
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import IntegerType, StructField, StructType, DoubleType
+
+# Seed namespace for the deterministic IVF centroids (engine-side only; the
+# final exact-cosine filter makes centroid choice correctness-neutral).
+_IVF_SEED = 0x5B5E
 
 
 def _norm_col(e: str = "embedding"):
@@ -36,23 +52,176 @@ def _dot(a, b):
     )
 
 
-def cosine_neardup_pairs(embs: DataFrame, threshold: float = 0.999) -> DataFrame:
-    n = embs.select("vec_id", "embedding", _norm_col().alias("nrm"))
-    a = n.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("e_a"),
-                 F.col("nrm").alias("n_a"))
-    b = n.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("e_b"),
-                 F.col("nrm").alias("n_b"))
-    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+def plane_signs(n_planes: int, dim: int) -> list[list[int]]:
+    """±1 hyperplane components from md5 parity — pure Python, shared with
+    the DuckDB oracle generator so both engines use identical planes."""
+    out = []
+    for p in range(n_planes):
+        row = []
+        for j in range(dim):
+            h = hashlib.md5(f"{p}|{j}".encode()).hexdigest()
+            row.append(1 if int(h[0], 16) % 2 == 0 else -1)
+        out.append(row)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Exact near-duplicate pairs via IVF cell blocking (complete by construction)
+# ---------------------------------------------------------------------------
+
+def _sample_centroids(embs: DataFrame, n_cells: int):
+    """Deterministic data-sampled centroids: the n_cells vectors with the
+    smallest xxhash64(vec_id) (TakeOrdered — top-K tree aggregation, no full
+    sort), L2-normalized. Sampling from the data (instead of random
+    directions) makes the cell caps tight on clustered embeddings, which is
+    what makes the triangle-inequality pruning bite. Control-plane payload:
+    n_cells × dim doubles."""
+    import numpy as np
+
+    rows = (
+        embs.select("vec_id", "embedding")
+        .orderBy(F.xxhash64("vec_id"), "vec_id")
+        .limit(n_cells)
+        .collect()
+    )
+    mat = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
+    nrm = np.linalg.norm(mat, axis=1)
+    nrm[nrm == 0.0] = 1.0
+    return (mat / nrm[:, None]).T  # (dim, C)
+
+
+def _assign_cells(embs: DataFrame, cents) -> DataFrame:
+    """Add (cell, cap_cos): nearest centroid and the vector's cosine to it.
+    Vectorized Arrow batch matmul — one pass, no per-row Python."""
+    from pyspark.sql.functions import pandas_udf
+
+    schema = StructType(
+        [StructField("cell", IntegerType()), StructField("cap_cos", DoubleType())]
+    )
+
+    @pandas_udf(schema)
+    def assign(col):
+        import numpy as np
+        import pandas as pd
+
+        mat = np.stack(col.to_numpy()).astype(np.float64)  # (n, dim)
+        sims = mat @ cents  # (n, C) dot to unit centroids
+        nrm = np.linalg.norm(mat, axis=1)
+        zero = nrm == 0.0
+        nrm[zero] = 1.0
+        cos = sims / nrm[:, None]
+        cell = cos.argmax(axis=1).astype(np.int32)
+        cap = cos.max(axis=1)
+        cap[zero] = -1.0  # zero vectors: full cap, never pruned
+        return pd.DataFrame({"cell": cell, "cap_cos": cap})
+
+    return embs.withColumn("_a", assign(F.col("embedding"))).select(
+        "*", F.col("_a.cell").alias("cell"), F.col("_a.cap_cos").alias("cap_cos")
+    ).drop("_a")
+
+
+def _candidate_cell_pairs(cell_stats: list, threshold: float, cents) -> list:
+    """Complete candidate cell pairs: (i, j) survives iff two vectors in the
+    caps of cells i and j could still have cosine >= threshold, by the
+    spherical triangle inequality  angle(a,b) >= angle(ci,cj) - phi_i - phi_j
+    where phi = the cell's cap half-angle. Vectorized over the C×C grid —
+    control-plane only."""
+    import numpy as np
+
+    if not cell_stats:
+        return []
+    ids = np.array([r[0] for r in cell_stats])
+    caps = np.clip(np.array([r[1] for r in cell_stats]), -1.0, 1.0)
+    sub = cents[:, ids]  # (dim, m) centroids of non-empty cells
+    theta = np.arccos(np.clip(sub.T @ sub, -1.0, 1.0))
+    phi = np.arccos(caps)
+    t_ang = math.acos(max(-1.0, min(1.0, threshold)))
+    ok = np.maximum(0.0, theta - phi[:, None] - phi[None, :]) <= t_ang + 1e-9
+    ii, jj = np.nonzero(ok)
+    return [(int(ids[i]), int(ids[j])) for i, j in zip(ii, jj)]
+
+
+def _np_cos_prefilter():
+    """Arrow-vectorized numpy cosine over candidate pairs — the cheap first
+    pass. NOT authoritative (numpy sums pairwise, the ordered fold doesn't);
+    callers keep a 1e-9 slack and re-check survivors with the exact fold."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def np_cos(ea, eb):
+        import numpy as np
+        import pandas as pd
+
+        if len(ea) == 0:
+            return pd.Series([], dtype="float64")
+        a = np.stack(ea.to_numpy()).astype(np.float64)
+        b = np.stack(eb.to_numpy()).astype(np.float64)
+        na = np.linalg.norm(a, axis=1)
+        nb = np.linalg.norm(b, axis=1)
+        d = na * nb
+        d[d == 0.0] = 1.0
+        return pd.Series(np.einsum("ij,ij->i", a, b) / d)
+
+    return np_cos
+
+
+def cosine_neardup_pairs(
+    embs: DataFrame, threshold: float = 0.999, n_cells: int = 32
+) -> DataFrame:
+    """Exact pairs with cosine >= threshold; identical output to brute force
+    (equality-tested at 10k vectors), but candidates come from an equi-join
+    on pruned IVF cell pairs instead of an all-pairs nested loop, and the
+    candidate verification is two-tier: a vectorized numpy cosine with 1e-9
+    slack first, then the authoritative ordered fold (bit-identical to the
+    DuckDB oracle) on the survivors only.
+
+    Scale path: centroid sampling is a top-K; assignment is one vectorized
+    pass; cell stats are C rows of control-plane state; the pair join
+    shuffles on cell ids. At 10⁹ vectors raise ``n_cells`` so cells stay
+    bounded and persist the assigned table to a staging location instead of
+    localCheckpoint."""
+    cents = _sample_centroids(embs, n_cells)
+    assigned = _assign_cells(
+        embs.select("vec_id", "embedding", _norm_col().alias("nrm")), cents
+    ).localCheckpoint(eager=False)
+    stats = [
+        (int(r["cell"]), float(r["mc"]))
+        for r in assigned.groupBy("cell").agg(F.min("cap_cos").alias("mc")).collect()
+    ]
+    cp = _candidate_cell_pairs(stats, threshold, cents)
+    spark = embs.sparkSession
+    if not cp:
+        return spark.createDataFrame([], "id_a bigint, id_b bigint")
+    cpdf = F.broadcast(spark.createDataFrame(cp, "cell_a int, cp_cell_b int"))
+    a = assigned.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("e_a"),
+        F.col("nrm").alias("n_a"), F.col("cell").alias("cell_a"),
+    )
+    b = assigned.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("e_b"),
+        F.col("nrm").alias("n_b"), F.col("cell").alias("cell_b"),
+    )
+    pairs = a.join(cpdf, "cell_a").join(
+        b, (F.col("cp_cell_b") == F.col("cell_b")) & (F.col("id_a") < F.col("id_b"))
+    )
+    np_cos = _np_cos_prefilter()
+    pre = pairs.filter(np_cos(F.col("e_a"), F.col("e_b")) >= threshold - 1e-9)
     cos = _dot(F.col("e_a"), F.col("e_b")) / (F.col("n_a") * F.col("n_b"))
-    return pairs.withColumn("cos", cos).filter(F.col("cos") >= threshold).select(
-        "id_a", "id_b"
+    return (
+        pre.withColumn("cos", cos)
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b")
     )
 
 
+# ---------------------------------------------------------------------------
+# ANN top-k
+# ---------------------------------------------------------------------------
+
 def ann_topk_bruteforce(embs: DataFrame, k: int = 5,
                         queries: DataFrame | None = None) -> DataFrame:
-    """Exact top-k cosine neighbors. ``queries`` defaults to the corpus
-    itself (self-join, excluding identity)."""
+    """Exact top-k cosine neighbors — O(n²) recall baseline for tests only
+    (the exposed driver query is ``ann_topk_lsh``)."""
     n = embs.select("vec_id", "embedding", _norm_col().alias("nrm"))
     q = (queries or embs).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_e")
@@ -69,17 +238,15 @@ def ann_topk_bruteforce(embs: DataFrame, k: int = 5,
 
 
 def _lsh_bucket(e: str, n_planes: int, dim: int):
-    """Deterministic random-hyperplane signature: plane p component j =
-    ±1 from xxhash64(p, j) parity. sign_p = sum_j e[j] * s_pj > 0."""
+    """Hyperplane-sign bucket with md5-derived ±1 components (plane_signs).
+    The per-plane projection is an ordered fold over products — bit-exact in
+    DuckDB (list_transform + list_sum), so buckets match across engines."""
+    signs = plane_signs(n_planes, dim)
     bits = None
     for p in range(n_planes):
+        s_arr = F.array(*[F.lit(float(s)) for s in signs[p]])
         comp = F.aggregate(
-            F.zip_with(
-                F.col(e),
-                F.sequence(F.lit(0), F.lit(dim - 1)),
-                lambda x, j: x.cast("double")
-                * F.when(F.pmod(F.xxhash64(F.lit(p), j), 2) == 0, 1.0).otherwise(-1.0),
-            ),
+            F.zip_with(F.col(e), s_arr, lambda x, s: x.cast("double") * s),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
@@ -88,10 +255,15 @@ def _lsh_bucket(e: str, n_planes: int, dim: int):
     return bits
 
 
-def ann_topk_lsh(embs: DataFrame, k: int = 5, n_planes: int = 8,
+def ann_topk_lsh(embs: DataFrame, k: int = 5, n_planes: int = 6,
                  dim: int = 64) -> DataFrame:
     """LSH-bucketed approximate top-k: candidates share a hyperplane-sign
-    bucket; brute force within bucket only."""
+    bucket; brute force within bucket only. ``n_planes`` sets 2^P buckets —
+    at scale raise it so per-bucket populations stay executor-sized.
+
+    Output keeps (rank) and drops the raw cosine: ranking order is
+    bit-identical across engines (ordered folds), which is what the oracle
+    checks; the float itself stays out of hashed results."""
     n = embs.select("vec_id", "embedding", _norm_col().alias("nrm")).withColumn(
         "bucket", _lsh_bucket("embedding", n_planes, dim)
     )
@@ -106,5 +278,6 @@ def ann_topk_lsh(embs: DataFrame, k: int = 5, n_planes: int = 8,
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("q_id", F.col("vec_id").alias("neighbor_id"), "cos", "rank")
+        .select("q_id", F.col("vec_id").alias("neighbor_id"),
+                F.col("rank").cast("int").alias("rank"))
     )

@@ -309,6 +309,40 @@ WHERE list_sum(list_transform(list_zip(a.e, b.e),
         p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
       / (a.nrm * b.nrm) >= 0.4"""
 
+    # ANN top-k via hyperplane LSH buckets — the SAME md5-derived ±1 plane
+    # signs as the engine (sbse.datapipe.similarity.plane_signs), ordered
+    # folds for projections/cosines, row_number tiebreak on vec_id. The
+    # bucket ids and ranks are therefore bit-identical across engines.
+    from sbse.datapipe.similarity import plane_signs
+
+    n_planes, dim, k = 6, 64, 5
+    signs = plane_signs(n_planes, dim)
+    plane_terms = []
+    for p in range(n_planes):
+        arr = "[" + ", ".join(f"{float(s):.1f}" for s in signs[p]) + "]"
+        comp = (
+            f"list_sum(list_transform(list_zip(embedding, {arr}), "
+            f"p -> CAST(p[1] AS DOUBLE) * p[2]))"
+        )
+        plane_terms.append(f"(CASE WHEN {comp} > 0 THEN {1 << p} ELSE 0 END)")
+    bucket = " + ".join(plane_terms)
+    q["q26_ann_topk"] = f"""
+WITH n AS (
+  SELECT vec_id, embedding AS e,
+    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))) AS nrm,
+    {bucket} AS bucket
+  FROM embeddings
+)
+SELECT q_id, neighbor_id, rank FROM (
+  SELECT a.vec_id AS q_id, b.vec_id AS neighbor_id,
+    CAST(row_number() OVER (
+      PARTITION BY a.vec_id
+      ORDER BY (list_sum(list_transform(list_zip(a.e, b.e),
+                  p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+                / (a.nrm * b.nrm)) DESC, b.vec_id ASC) AS INT) AS rank
+  FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+) WHERE rank <= {k}"""
+
     # Text quality / language heuristics + token counting.
     q["q25_text_quality"] = """
 SELECT doc_id, lang, source,

@@ -238,9 +238,12 @@ def q22_minhash_lsh(spark, sf_dir):
 
 def q24_embedding_neardup(spark, sf_dir):
     # threshold 0.4 chosen for the harness data (max pairwise cosine ≈ 0.51,
-    # p99.9 ≈ 0.377) so the parity check exercises real rows; both engines
-    # fold the dot product sequentially -> bit-identical cosines (verified:
-    # zero symmetric difference at sf0.01).
+    # p99.9 ≈ 0.377) so the parity check exercises real rows. The engine
+    # path is the IVF cell-blocked join (complete by spherical triangle
+    # inequality — provably equal to the oracle's brute force); the final
+    # cosine filter folds sequentially -> bit-identical to DuckDB.
+    from sbse.session import ensure_shipped
+    ensure_shipped(spark)
     return sim.cosine_neardup_pairs(_embs(spark, sf_dir), threshold=0.4)
 
 
@@ -248,18 +251,15 @@ def q25_text_quality(spark, sf_dir):
     return tx.text_quality(_docs(spark, sf_dir))
 
 
-# Engine-only queries (no SQL oracle — driver records rows-only checks):
-# q23 simhash (xxhash64 bit votes), q26 ANN top-k (float ranking),
-# q27 rolling-hash fingerprints, q29 language heuristic.
-
 def q23_simhash(spark, sf_dir):
+    # md5-derived word bits (portable) — oracle-checked bit-for-bit.
     return dd.simhash64(_docs(spark, sf_dir))
 
 
 def q26_ann_topk(spark, sf_dir):
-    from sbse.session import ensure_shipped
-    ensure_shipped(spark)
-    return sim.ann_topk_bruteforce(_embs(spark, sf_dir), k=5)
+    # LSH-bucketed ANN (the scale path; brute force stays test-side as the
+    # recall baseline). Buckets + ranks are bit-identical in DuckDB.
+    return sim.ann_topk_lsh(_embs(spark, sf_dir), k=5, n_planes=6, dim=64)
 
 
 def q27_doc_fingerprint(spark, sf_dir):

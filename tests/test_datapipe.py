@@ -99,6 +99,54 @@ def test_cosine_neardup_pairs(spark):
     assert not any(a < 5 <= b for a, b in pairs)  # no cross-cluster pairs
 
 
+def test_cosine_neardup_exact_at_10k_and_scale_sane_plan(spark):
+    """The IVF cell-blocked near-dup join is COMPLETE (identical pair set to
+    numpy brute force at 10k vectors) and its physical plan contains no
+    BroadcastNestedLoopJoin/CartesianProduct — the round-1 all-pairs defect."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    centers = rng.standard_normal((200, 64))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    pts = (centers[np.arange(10_000) % 200]
+           + 0.03 * rng.standard_normal((10_000, 64)))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in pts[i]], int(i % 200)) for i in range(10_000)],
+        EMB_SCHEMA,
+    )
+    from sbse.datapipe.similarity import cosine_neardup_pairs
+
+    # n_cells ~ n/10: data-sampled centroids cover every cluster, caps stay
+    # tight, and the triangle-inequality pruning keeps candidates near the
+    # true intra-cluster pairs (~16k of 1M cell pairs survive here).
+    out = cosine_neardup_pairs(df, threshold=0.9, n_cells=1024)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoop" not in plan and "Cartesian" not in plan, plan
+    got = {(r.id_a, r.id_b) for r in out.collect()}
+
+    nrm = np.linalg.norm(pts, axis=1)
+    cos = (pts @ pts.T) / np.outer(nrm, nrm)
+    iu = np.triu_indices(10_000, k=1)
+    hits = cos[iu] >= 0.9
+    truth = set(zip(iu[0][hits].tolist(), iu[1][hits].tolist()))
+    # strict equality away from the threshold boundary; at the boundary the
+    # engine's ordered fold is authoritative (numpy sums pairwise)
+    boundary = {(a, b) for (a, b) in truth ^ got
+                if abs(cos[a, b] - 0.9) < 1e-9}
+    assert truth - got <= boundary and got - truth <= boundary, (
+        f"missing={list(truth - got)[:5]} extra={list(got - truth)[:5]}"
+    )
+    assert len(truth) > 100  # the fixture actually exercises near-dups
+
+
+def test_ann_topk_lsh_plan_has_no_nested_loop(spark):
+    from sbse.datapipe.similarity import ann_topk_lsh
+
+    out = ann_topk_lsh(_embs(spark), k=3, n_planes=4, dim=8)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoop" not in plan and "Cartesian" not in plan, plan
+
+
 def test_ann_bruteforce_and_lsh_recall(spark):
     from sbse.datapipe.similarity import ann_topk_bruteforce, ann_topk_lsh
 
