@@ -23,16 +23,34 @@ from pyspark.sql import functions as F
 
 def shingles(docs: DataFrame, n: int = 3) -> DataFrame:
     """Distinct word n-gram shingles per doc (matches the oracle SQL shape:
-    1-based sequence over split(' '))."""
+    1-based sequence over split(' ')). Docs with fewer than n words yield no
+    shingles (guarded: F.sequence defaults to step -1 when size < n, which
+    would produce invalid indices — mirrors the oracle's empty
+    generate_series)."""
     ws = docs.select(
         "doc_id", "lang", F.split(F.col("text"), " ").alias("ws")
     )
-    idx = F.explode(F.sequence(F.lit(1), F.size("ws") - (n - 1))).alias("i")
+    idx = F.explode(
+        F.when(F.size("ws") >= n, F.sequence(F.lit(1), F.size("ws") - (n - 1)))
+        .otherwise(F.array().cast("array<int>"))
+    ).alias("i")
     e = ws.select("doc_id", "lang", "ws", idx)
     gram = F.concat_ws(
         " ", *[F.element_at("ws", F.col("i") + k) for k in range(n)]
     )
     return e.select("doc_id", "lang", gram.alias("shingle")).distinct()
+
+
+def cap_shingle_df(sh: DataFrame, max_df: int | None) -> DataFrame:
+    """Drop shingles whose document frequency exceeds ``max_df``. A single
+    stop-shingle with df=d makes the shingle self-join emit O(d²) rows for
+    that group — at 100 TB one hot shingle is a quadratic blowup. Capping df
+    bounds every group; Jaccard becomes 'Jaccard over informative shingles'
+    (the oracle applies the identical cap). None disables."""
+    if max_df is None:
+        return sh
+    dfc = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("sh_df"))
+    return sh.join(dfc.filter(F.col("sh_df") <= max_df), "shingle").drop("sh_df")
 
 
 def exact_dedup(docs: DataFrame) -> DataFrame:
@@ -57,8 +75,9 @@ def _jaccard_from_pairs(pairs: DataFrame, card: DataFrame, threshold: float) -> 
     return j.filter(F.col("jaccard") >= threshold).select("doc_a", "doc_b", "jaccard")
 
 
-def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.2, n: int = 3) -> DataFrame:
-    sh = shingles(docs, n)
+def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.2, n: int = 3,
+                        max_df: int | None = 1000) -> DataFrame:
+    sh = cap_shingle_df(shingles(docs, n), max_df)
     card = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "lang", "shingle")
     b = sh.select(F.col("doc_id").alias("doc_b"), F.col("lang").alias("lang_b"),
@@ -77,14 +96,17 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.2, n: int = 3) -> 
 
 
 def minhash_lsh_pairs(
-    docs: DataFrame, threshold: float = 0.2, k: int = 8, bands: int = 4
+    docs: DataFrame, threshold: float = 0.2, k: int = 8, bands: int = 4,
+    max_df: int | None = 1000,
 ) -> DataFrame:
     """MinHash + LSH banding; candidates verified with exact Jaccard.
 
     Hash = md5(seed|shingle), min taken lexicographically — deterministic
-    and portable (identical in the DuckDB oracle)."""
+    and portable (identical in the DuckDB oracle). Shingles over ``max_df``
+    documents are dropped first (cap_shingle_df) so no band group and no
+    verify-join group can go quadratic on a stop-shingle."""
     rows = k // bands
-    sh = shingles(docs, 3)
+    sh = cap_shingle_df(shingles(docs, 3), max_df)
     card = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     sig = sh.groupBy("doc_id").agg(
         *[
@@ -135,39 +157,53 @@ def minhash_lsh_pairs(
 
 
 def simhash64(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """64-bit SimHash from word-level xxhash64 — pure bit-arithmetic
-    aggregation, no UDF: for each bit b, sign = (#words with bit set) -
-    (#words with bit clear); simhash bit b = sign > 0."""
+    """64-bit SimHash — pure integer/columnar aggregation, no UDF. Word bits
+    come from the first 16 hex digits of md5(word) (bit b = bit (b%4) of
+    digit b//4), which is portable: the DuckDB oracle reproduces the exact
+    same bits, so q23 is hash-checked. Bit b of the simhash is set when more
+    words have it set than clear (2*sum(bit) > count). Bit 63 is added as
+    the int64 min literal (two's complement), all bits are disjoint so
+    addition == OR."""
     w = docs.select("doc_id", F.explode(F.split(F.col(text_col), " ")).alias("word"))
-    w = w.withColumn("h", F.xxhash64("word"))
-    bit_votes = [
-        F.sum(
-            F.when(
-                F.col("h").bitwiseAND(F.shiftleft(F.lit(1).cast("long"), b)) != 0, 1
-            ).otherwise(-1)
-        ).alias(f"v{b}")
-        for b in range(64)
+    w = w.withColumn("m16", F.substring(F.md5("word"), 1, 16))
+    digits = [
+        F.expr(f"locate(substring(m16, {i + 1}, 1), '0123456789abcdef') - 1")
+        .alias(f"d{i}")
+        for i in range(16)
     ]
-    votes = w.groupBy("doc_id").agg(*bit_votes)
+    w = w.select("doc_id", *digits)
+    aggs = [F.count(F.lit(1)).alias("nw")]
+    for b in range(64):
+        i, s = b // 4, b % 4
+        bit = F.floor(F.col(f"d{i}") / F.lit(1 << s)).cast("int") % 2
+        aggs.append(F.sum(bit).alias(f"s{b}"))
+    votes = w.groupBy("doc_id").agg(*aggs)
     sim_expr = None
     for b in range(64):
-        bit = F.when(
-            F.col(f"v{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)
+        lb = (1 << b) if b < 63 else -(1 << 63)
+        term = F.when(
+            2 * F.col(f"s{b}") > F.col("nw"), F.lit(lb).cast("long")
         ).otherwise(F.lit(0).cast("long"))
-        sim_expr = bit if sim_expr is None else sim_expr.bitwiseOR(bit)
+        sim_expr = term if sim_expr is None else sim_expr + term
     return votes.select("doc_id", sim_expr.alias("simhash"))
 
 
-def simhash_candidates(sims: DataFrame, max_hamming: int = 8) -> DataFrame:
-    """Near-dup candidates via 16-bit band collision (any identical quarter
-    of the simhash) then exact Hamming filter via bit_count(xor)."""
+def simhash_candidates(sims: DataFrame, max_hamming: int = 8,
+                       n_bands: int = 4) -> DataFrame:
+    """Near-dup candidates via band collision (any identical 64/n_bands-bit
+    slice of the simhash) then exact Hamming filter via bit_count(xor).
+    Pigeonhole guarantee: every pair with hamming < n_bands shares a clean
+    band; above that recall is probabilistic — raise n_bands for looser
+    max_hamming."""
+    width = 64 // n_bands
+    mask = (1 << width) - 1
     banded = None
-    for b in range(4):
+    for b in range(n_bands):
         part = sims.select(
             "doc_id",
             "simhash",
             F.lit(b).alias("band_id"),
-            F.shiftrightunsigned(F.col("simhash"), b * 16).bitwiseAND(F.lit(0xFFFF)).alias("band"),
+            F.shiftrightunsigned(F.col("simhash"), b * width).bitwiseAND(F.lit(mask)).alias("band"),
         )
         banded = part if banded is None else banded.unionByName(part)
     a = banded.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a"),

@@ -30,9 +30,20 @@ def text_quality(docs: DataFrame) -> DataFrame:
     )
 
 
+# Stopword tables for the language heuristic — single source of truth,
+# mirrored verbatim by the DuckDB oracle (sbse.oracle imports this).
+LANG_WORDS = {
+    "en": ["the", "and", "of"],
+    "de": ["der", "und", "das"],
+    "es": ["el", "la", "de"],
+}
+
+
 def lang_guess(docs: DataFrame) -> DataFrame:
-    """Cheap n-gram/stopword language heuristic: score per language =
-    stopword hit count; deterministic argmax (ties -> lexicographic)."""
+    """Cheap stopword language heuristic: score per language = weighted
+    stopword hit count; deterministic argmax with EXPLICIT tie priority
+    en > de > es (insertion order of LANG_WORDS, checked first-to-last);
+    'und' when no stopword hits at all."""
     scores = [
         (
             lang,
@@ -42,11 +53,7 @@ def lang_guess(docs: DataFrame) -> DataFrame:
                 for w in words
             ),
         )
-        for lang, words in {
-            "en": ["the", "and", "of"],
-            "de": ["der", "und", "das"],
-            "es": ["el", "la", "de"],
-        }.items()
+        for lang, words in LANG_WORDS.items()
     ]
     best = F.greatest(*[s for _, s in scores])
     guess = F.lit("und")
@@ -56,43 +63,69 @@ def lang_guess(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", "lang", guess.alias("lang_guess"))
 
 
-def doc_fingerprint(docs: DataFrame, window: int = 16) -> DataFrame:
-    """Rolling polynomial hash fingerprint (winnowing-style min over rolling
-    window hashes) — Arrow-vectorized, no per-row Python loops over docs."""
+FP_BASE = 1000003
+FP_WINDOW = 16
+FP_MOD = 1 << 32  # window hash = sum(byte*B^t) mod 2^32: 16 terms, each
+#                   < 2^40, total < 2^44 — exact in int64 on BOTH engines
+#                   (the DuckDB oracle mirrors it in plain BIGINT).
+
+
+def fp_powers(window: int = FP_WINDOW) -> list[int]:
+    """B^(W-1-t) mod 2^32 for t in 0..W-1 — shared with the oracle SQL."""
+    return [pow(FP_BASE, window - 1 - t, FP_MOD) for t in range(window)]
+
+
+def doc_fingerprint(docs: DataFrame, window: int = FP_WINDOW) -> DataFrame:
+    """Rolling polynomial hash fingerprint: winnowing-style min over all
+    length-``window`` byte-window hashes. Fully vectorized: each Arrow batch
+    concatenates ALL docs into one byte buffer (the decode.py gather trick),
+    computes every window hash in W vectorized passes, masks the windows
+    that cross doc boundaries with a scatter-built difference array, and
+    takes per-doc minima with np.minimum.reduceat — no per-document Python
+    loop (docs shorter than the window hit a rare fallback loop; the
+    harness corpus has none)."""
 
     def fp_batches(batches):
         import numpy as np
         import pandas as pd
 
-        B = np.uint64(1000003)
-        MASK = np.uint64((1 << 61) - 1)
         W = window
+        P = fp_powers(W)
+        UMAX = np.uint64(0xFFFFFFFFFFFFFFFF)
 
         for pdf in batches:
-            fps = np.zeros(len(pdf), dtype=np.uint64)
-            for i, text in enumerate(pdf["text"]):
-                b = np.frombuffer(text.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
-                if len(b) < W:
-                    h = np.uint64(0)
-                    for x in b:
-                        h = (h * B + x) & MASK
-                    fps[i] = h
-                    continue
-                # rolling hash over all windows, vectorized via cumulative
-                # polynomial trick: H[j] = sum b[j+t] * B^(W-1-t)
-                powers = np.empty(W, dtype=np.uint64)
-                powers[W - 1] = np.uint64(1)
-                for t in range(W - 2, -1, -1):
-                    powers[t] = (powers[t + 1] * B) & MASK
-                n_win = len(b) - W + 1
-                H = np.zeros(n_win, dtype=np.uint64)
-                for t in range(W):  # W iterations, each vectorized over windows
-                    H = (H + b[t : t + n_win] * powers[t]) & MASK
-                fps[i] = H.min()  # winnowing: min window hash is the doc mark
-            out = pd.DataFrame(
+            bts = [t.encode("utf-8") for t in pdf["text"]]
+            nd = len(bts)
+            fps = np.zeros(nd, dtype=np.uint64)
+            if nd:
+                lens = np.array([len(b) for b in bts], dtype=np.int64)
+                offs = np.zeros(nd + 1, dtype=np.int64)
+                np.cumsum(lens, out=offs[1:])
+                buf = np.frombuffer(b"".join(bts), dtype=np.uint8).astype(np.uint64)
+                nwin = len(buf) - W + 1
+                if nwin > 0:
+                    H = np.zeros(nwin, dtype=np.uint64)
+                    for t in range(W):  # W passes, each vectorized over ALL windows
+                        H += buf[t:t + nwin] * np.uint64(P[t])
+                    H &= np.uint64(FP_MOD - 1)
+                    # invalidate windows crossing doc boundaries:
+                    # doc d's bad starts are [offs[d]+max(len_d-W+1,0), offs[d+1])
+                    bad_lo = np.minimum(offs[:-1] + np.maximum(lens - W + 1, 0), nwin)
+                    bad_hi = np.minimum(offs[1:], nwin)
+                    delta = np.zeros(nwin + 1, dtype=np.int64)
+                    np.add.at(delta, bad_lo, 1)
+                    np.add.at(delta, bad_hi, -1)
+                    H[np.cumsum(delta[:-1]) > 0] = UMAX
+                    starts = np.minimum(offs[:-1], nwin - 1)
+                    fps = np.minimum.reduceat(H, starts)
+                for d in np.nonzero(lens < W)[0]:  # rare short-doc fallback
+                    h = 0
+                    for byte in bts[d]:
+                        h = (h * FP_BASE + byte) % FP_MOD
+                    fps[d] = h
+            yield pd.DataFrame(
                 {"doc_id": pdf["doc_id"].to_numpy(), "fingerprint": fps.astype(np.int64)}
             )
-            yield out
 
     return docs.select("doc_id", "text").mapInPandas(
         fp_batches, schema="doc_id bigint, fingerprint bigint"

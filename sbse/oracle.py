@@ -241,14 +241,18 @@ SELECT md5(text) AS text_hash,
 FROM documents GROUP BY md5(text)"""
 
     # Word 3-gram shingles + exact Jaccard on candidate pairs that share at
-    # least one shingle within the same lang.
+    # least one shingle within the same lang. Shingles with document
+    # frequency > 1000 are dropped (identical cap engine-side:
+    # dedup.cap_shingle_df — bounds the self-join group sizes at scale).
     shingles = """
 w AS (SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents),
-sh AS (
+sh0 AS (
   SELECT DISTINCT doc_id, lang,
     concat_ws(' ', ws[i], ws[i+1], ws[i+2]) AS shingle
   FROM w, unnest(generate_series(1, len(ws) - 2)) AS t(i)
 ),
+shd AS (SELECT shingle, count(*) AS sh_df FROM sh0 GROUP BY shingle),
+sh AS (SELECT sh0.* FROM sh0 JOIN shd USING (shingle) WHERE sh_df <= 1000),
 card AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id)
 """
     q["q21_ngram_jaccard"] = f"""WITH {shingles},
@@ -309,6 +313,61 @@ WHERE list_sum(list_transform(list_zip(a.e, b.e),
         p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
       / (a.nrm * b.nrm) >= 0.4"""
 
+    # SimHash64 — word bits from md5 hex digits (bit b = bit (b%4) of digit
+    # b//4 of md5(word)[:16]), pure integer arithmetic, so the DuckDB mirror
+    # is bit-exact (see dedup.simhash64). Bit 63 is the int64 min literal;
+    # disjoint bits make addition == OR.
+    digit_cols = ",\n    ".join(
+        f"strpos('0123456789abcdef', substr(m16, {i + 1}, 1)) - 1 AS d{i}"
+        for i in range(16)
+    )
+    vote_cols = ",\n    ".join(
+        f"sum(CAST(floor(d{b // 4} / {1 << (b % 4)}) AS INT) % 2) AS s{b}"
+        for b in range(64)
+    )
+    sim_terms = " + ".join(
+        f"(CASE WHEN 2*s{b} > nw THEN CAST({(1 << b) if b < 63 else '-9223372036854775807 - 1'} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for b in range(64)
+    )
+    q["q23_simhash"] = f"""
+WITH w AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+),
+d AS (SELECT doc_id, substr(md5(word), 1, 16) AS m16 FROM w),
+dg AS (
+  SELECT doc_id,
+    {digit_cols}
+  FROM d
+),
+v AS (
+  SELECT doc_id, count(*) AS nw,
+    {vote_cols}
+  FROM dg GROUP BY doc_id
+)
+SELECT doc_id, CAST({sim_terms} AS BIGINT) AS simhash FROM v"""
+
+    # Language heuristic — same stopword tables (text.LANG_WORDS), same
+    # left-to-right score sums, same greatest + explicit en > de > es
+    # tie priority as the engine.
+    from sbse.datapipe.text import LANG_WORDS
+
+    score_sql = {}
+    for lang, words in LANG_WORDS.items():
+        terms = [
+            f"(length(text) - length(replace(text, ' {w} ', ''))) / {len(w) + 2}"
+            for w in words
+        ]
+        score_sql[lang] = "(" + " + ".join(terms) + ")"
+    best = "greatest(" + ", ".join(score_sql[lg] for lg in LANG_WORDS) + ")"
+    prio = " ".join(
+        f"WHEN {score_sql[lg]} = best THEN '{lg}'" for lg in LANG_WORDS
+    )
+    q["q29_lang_guess"] = f"""
+WITH s AS (SELECT doc_id, lang, text, {best} AS best FROM documents)
+SELECT doc_id, lang,
+  CASE WHEN best <= 0 THEN 'und' {prio} ELSE 'und' END AS lang_guess
+FROM s"""
+
     # ANN top-k via hyperplane LSH buckets — the SAME md5-derived ±1 plane
     # signs as the engine (sbse.datapipe.similarity.plane_signs), ordered
     # folds for projections/cosines, row_number tiebreak on vec_id. The
@@ -355,6 +414,25 @@ SELECT doc_id, lang, source,
   (length(text) BETWEEN 100 AND 500
    AND len(string_split(text, ' ')) >= 20) AS quality_pass
 FROM documents"""
+
+    # Rolling-hash document fingerprint — same 32-bit polynomial window hash
+    # as text.doc_fingerprint (exact int64 arithmetic on both engines;
+    # corpus texts are ASCII so ascii(char) == utf-8 byte, and every doc is
+    # longer than the window so the short-doc fallback never fires).
+    from sbse.datapipe.text import FP_MOD, FP_WINDOW, fp_powers
+
+    P = fp_powers(FP_WINDOW)
+    terms = " + ".join(
+        f"CAST(ascii(substr(text, i + {t}, 1)) AS BIGINT) * {P[t]}"
+        for t in range(FP_WINDOW)
+    )
+    q["q27_doc_fingerprint"] = f"""
+WITH d AS (SELECT doc_id, text, length(text) AS L FROM documents),
+win AS (
+  SELECT doc_id, ({terms}) % {FP_MOD} AS h
+  FROM d, unnest(generate_series(1, L - {FP_WINDOW - 1})) AS t(i)
+)
+SELECT doc_id, CAST(min(h) AS BIGINT) AS fingerprint FROM win GROUP BY doc_id"""
 
     # Multimodal binary plumbing: byte-level features computed Spark-side via
     # Arrow mapInPandas over binary payloads; oracle recomputes from chars

@@ -69,7 +69,7 @@ def test_simhash(spark):
     ham_far = bin(by_id[0] ^ by_id[3]).count("1")
     assert ham_near < ham_far
     cands = {(r.doc_a, r.doc_b): r.hamming
-             for r in simhash_candidates(sims, max_hamming=16).collect()}
+             for r in simhash_candidates(sims, max_hamming=16, n_bands=8).collect()}
     assert cands[(0, 1)] == 0
     assert (0, 2) in cands
 
