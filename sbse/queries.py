@@ -121,14 +121,37 @@ def q09_gapfill_1h(spark, sf_dir):
     return gapfill_locf(_rollup(spark, sf_dir, "hour"), "hour")
 
 
+def _wh(sf_dir: str, table: str) -> str:
+    """Deterministic warehouse path for catalog-backed queries (gitignored
+    scratch under the repo; rebuilt per call — tier tables are tiny next to
+    raw, and at 100 TB these would be long-lived managed tables)."""
+    import os
+
+    root = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                        ".warehouse")
+    return os.path.join(root, os.path.basename(os.path.normpath(sf_dir)), table)
+
+
 def q10_retention_1h(spark, sf_dir):
+    """Retention through the partitioned warehouse: the 1h tier is written
+    date-partitioned, the horizon comes from the SNAPSHOT manifest (no data
+    scan), and the scan is partition-pruned to surviving dates before the
+    exact hour-grain filter — hypertable chunk semantics (whole chunks drop
+    O(1); the boundary chunk is row-filtered)."""
+    import datetime as dt
+
+    from sbse import catalog
+
     r = _rollup(spark, sf_dir, "hour")
-    mx = r.agg(F.max("bucket_start").alias("bmax"))
-    return (
-        r.crossJoin(F.broadcast(mx))
-        .filter(F.col("bucket_start") >= F.col("bmax") - F.expr("interval 240 hours"))
-        .drop("bmax")
-    )
+    path = _wh(sf_dir, "rollup_1h")
+    snap = catalog.write_partitioned(r, path, date_col="bucket_start")
+    bmax = dt.datetime.fromisoformat(snap["ts_max"])
+    horizon = bmax - dt.timedelta(hours=240)
+    pruned = catalog.read_partitioned(spark, path,
+                                      start=horizon.strftime("%Y-%m-%d"))
+    return pruned.filter(
+        F.col("bucket_start") >= F.lit(horizon.strftime("%Y-%m-%d %H:%M:%S"))
+    ).drop("log_date").select(*r.columns)
 
 
 def q11_validation_gate(spark, sf_dir):
@@ -204,9 +227,19 @@ def q16_asof_join(spark, sf_dir):
 
 
 def q14_range_scan(spark, sf_dir):
-    m = _merged(spark, sf_dir)
+    """Metrics range scan THROUGH the partitioned warehouse: merged states
+    are stored date-partitioned; the BETWEEN range reads only the matching
+    log_date partitions (PartitionFilters — asserted in test_catalog), then
+    applies the exact timestamp bounds."""
+    from sbse import catalog
+
+    m = _merged(spark, sf_dir).select("source", "key", "ts", "altitude_m")
+    path = _wh(sf_dir, "states_scan")
+    catalog.write_partitioned(m, path, date_col="ts")
+    pruned = catalog.read_partitioned(spark, path,
+                                      start="2024-01-02", end="2024-01-05")
     return (
-        m.filter(
+        pruned.filter(
             F.col("ts").between("2024-01-02 00:00:00", "2024-01-05 00:00:00")
         )
         .groupBy("key")
