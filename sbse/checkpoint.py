@@ -6,14 +6,22 @@ idempotent, skip-if-applied) and the periodic stats persistence (tracker
 main.go:90) — as a partition-grain resume protocol:
 
 * input is split into N deterministic content-hash partitions
-  (``pmod(xxhash64(doc_id), N)`` — stable across runs AND cluster sizes);
+  (``pmod(xxhash64(source, entity_key), N)`` — stable across runs AND
+  cluster sizes);
+* ALL partition fingerprints are computed in ONE pass
+  (``partition_fingerprints``: groupBy(ck_part) + commutative bit_xor of a
+  full-content row hash — doc_id, n_tok AND the token array, so changed
+  token contents invalidate a partition even when ids/lengths collide);
 * each partition runs the full pipeline and atomically writes its outputs
-  under ``<warehouse>/<table>/ck_part=<p>/`` plus a JSON manifest
-  ``<warehouse>/_manifests/<run_id>/part-<p>.json`` recording lineage
-  (input fingerprint, row counts) and metrics (duration, outputs);
+  under ``<warehouse>/<table>/ck_part=<p>/`` (tables with a time column are
+  further date-partitioned ``log_date=yyyy-MM-dd`` — the catalog layout, so
+  retention drops and range scans prune without rewrites) plus a JSON
+  manifest ``<warehouse>/_manifests/<run_id>/part-<p>.json`` recording
+  lineage (input fingerprint, row counts) and metrics (duration, output
+  rows via ``df.observe`` — counted DURING the write, never re-read);
 * a resumed run skips every partition whose manifest exists and whose input
-  fingerprint still matches — zero recomputation (BASELINE.md resumability
-  row), byte-identical results since all operators are deterministic.
+  fingerprint still matches — a fully-skipped resume costs exactly ONE
+  Spark job (the fingerprint pass; asserted in test_checkpoint).
 
 At cluster scale each "partition" is a coarse unit of work (e.g. a day of
 data, thousands of Spark tasks), so the driver-side loop is control-plane
@@ -27,26 +35,68 @@ import os
 import time
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 from sbse.skew import checkpoint_partition
 
+# Output tables that carry a time column get the catalog's date layout.
+DATE_COLS = {
+    "states": "ts",
+    "sessions": "started_at",
+    "rollup_1m": "bucket_start",
+    "rollup_1h": "bucket_start",
+    "rollup_1d": "bucket_start",
+    "gapfill_1h": "bucket_start",
+}
+
+
+def partition_fingerprints(labeled: DataFrame, id_col: str = "doc_id") -> dict:
+    """Order-insensitive content fingerprints for EVERY ck_part in one scan:
+    {part: (row_count, bit_xor(xxhash64(id, n_tok, tokens)))}. bit_xor is
+    commutative — identical no matter how the data is partitioned. Empty
+    partitions are simply absent (callers treat missing as (0, 0))."""
+    rows = (
+        labeled.groupBy("ck_part")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr(f"bit_xor(xxhash64({id_col}, n_tok, tokens))").alias("h"),
+        )
+        .collect()
+    )
+    return {
+        int(r["ck_part"]): (int(r["n"]), int(r["h"]) if r["h"] is not None else 0)
+        for r in rows
+    }
+
 
 def input_fingerprint(df: DataFrame, id_col: str = "doc_id") -> tuple[int, int]:
-    """Order-insensitive content fingerprint: (row_count, xor-ish hash sum).
-
-    bit_xor of xxhash64(doc_id, n_tok) is commutative — identical no matter
-    how the data is partitioned."""
+    """Single-frame variant of partition_fingerprints (kept for tests/tools)."""
     row = df.agg(
         F.count(F.lit(1)).alias("n"),
-        F.expr(f"bit_xor(xxhash64({id_col}, n_tok))").alias("h"),
+        F.expr(f"bit_xor(xxhash64({id_col}, n_tok, tokens))").alias("h"),
     ).collect()[0]
     return int(row["n"]), int(row["h"] if row["h"] is not None else 0)
 
 
 def _manifest_path(warehouse: str, run_id: str, part: int) -> str:
     return os.path.join(warehouse, "_manifests", run_id, f"part-{part}.json")
+
+
+def _write_output(df: DataFrame, table: str, path: str) -> int:
+    """Write one output table, returning its row count from an Observation
+    (metrics collected by the write job itself — no post-write re-read)."""
+    obs = Observation(f"rows_{table}")
+    observed = df.observe(obs, F.count(F.lit(1)).alias("n"))
+    date_col = DATE_COLS.get(table)
+    if date_col and date_col in df.columns:
+        (
+            observed.withColumn("log_date", F.date_format(date_col, "yyyy-MM-dd"))
+            .write.mode("overwrite").partitionBy("log_date").parquet(path)
+        )
+    else:
+        observed.write.mode("overwrite").parquet(path)
+    return int(obs.get["n"])
 
 
 def run_partitioned(
@@ -61,11 +111,11 @@ def run_partitioned(
     Returns a summary dict {partition: 'computed'|'skipped'}."""
     os.makedirs(os.path.join(warehouse, "_manifests", run_id), exist_ok=True)
     labeled = checkpoint_partition(token_df, n_parts)
+    fps = partition_fingerprints(labeled)
     summary: dict[int, str] = {}
     for p in range(n_parts):
         mpath = _manifest_path(warehouse, run_id, p)
-        subset = labeled.filter(F.col("ck_part") == p).drop("ck_part")
-        n, h = input_fingerprint(subset)
+        n, h = fps.get(p, (0, 0))
         if os.path.exists(mpath):
             with open(mpath) as f:
                 manifest = json.load(f)
@@ -73,15 +123,12 @@ def run_partitioned(
                 summary[p] = "skipped"
                 continue
         t0 = time.monotonic()
+        subset = labeled.filter(F.col("ck_part") == p).drop("ck_part")
         outputs = pipeline_fn(subset)
         out_meta = {}
         for table, df in outputs.items():
             path = os.path.join(warehouse, table, f"ck_part={p}")
-            df.write.mode("overwrite").parquet(path)
-            out_meta[table] = {
-                "path": path,
-                "rows": df.sparkSession.read.parquet(path).count(),
-            }
+            out_meta[table] = {"path": path, "rows": _write_output(df, table, path)}
         manifest = {
             "run_id": run_id,
             "partition": p,

@@ -17,7 +17,10 @@ def _mini_pipeline(subset):
 
 
 def _read_all(spark, warehouse, table):
-    df = spark.read.parquet(*glob.glob(f"{warehouse}/{table}/ck_part=*"))
+    # table root: partition discovery picks up ck_part=* and (for tables
+    # with a time column) the nested log_date=* catalog layout
+    df = spark.read.parquet(f"{warehouse}/{table}")
+    df = df.drop("ck_part", "log_date")  # layout columns, not table data
     return sorted(map(str, df.collect()))
 
 
@@ -88,6 +91,46 @@ def test_partitioned_equals_global(spark, tmp_path):
                               with_gorilla=False)["sessions"].collect())
     )
     assert got == want
+
+
+def test_resume_costs_one_job(spark, tmp_path):
+    """Scan economy: a fully-skipped resume runs exactly ONE Spark job (the
+    single-pass fingerprint aggregation) — not per-partition filtered scans
+    or post-write re-reads (round-1 defect)."""
+    from sbse.checkpoint import run_partitioned
+    from sbse.tokens import synth
+
+    tok = synth(spark, 800)
+    wh = str(tmp_path / "wh")
+    run_partitioned(tok, _mini_pipeline, wh, "j", n_parts=4)
+
+    sc = spark.sparkContext
+    sc.setJobGroup("resume-probe", "fully-skipped resume")
+    try:
+        s = run_partitioned(tok, _mini_pipeline, wh, "j", n_parts=4)
+    finally:
+        sc.setJobGroup("resume-probe-done", "")
+    assert set(s.values()) == {"skipped"}
+    jobs = sc.statusTracker().getJobIdsForGroup("resume-probe")
+    # one logical aggregation; AQE materializes it as a map job + final job.
+    # The round-1 implementation cost >= n_parts jobs here.
+    assert len(jobs) <= 2, f"expected <=2 fingerprint jobs, saw {len(jobs)}"
+
+
+def test_fingerprint_covers_token_content(spark, tmp_path):
+    """Same ids, same lengths, different token CONTENT -> partitions
+    recompute (a resume must never serve stale outputs)."""
+    from sbse.checkpoint import run_partitioned
+    from tests.conftest import make_token_rows
+
+    rows_a = [(f"d{i}", [1, 2, 3, 4, 5, 6], "src-00") for i in range(40)]
+    rows_b = [(f"d{i}", [1, 2, 3, 4, 5, 7], "src-00") for i in range(40)]
+    wh = str(tmp_path / "wh")
+    run_partitioned(make_token_rows(spark, rows_a), _mini_pipeline, wh, "c",
+                    n_parts=2)
+    s = run_partitioned(make_token_rows(spark, rows_b), _mini_pipeline, wh, "c",
+                        n_parts=2)
+    assert "computed" in set(s.values())
 
 
 def test_partition_labels_content_stable(spark):
