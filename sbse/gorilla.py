@@ -184,11 +184,18 @@ def decode_points(blob: bytes) -> tuple[list[int], list[float]]:
     return ts, vals
 
 
-def encode_tier(tier: DataFrame, value_col: str = "n_tok_sum") -> DataFrame:
-    """Compress a rollup tier into one Gorilla blob per (source, key).
+def encode_tier(tier: DataFrame, value_col: str = "n_tok_sum",
+                chunk_unit: str = "month") -> DataFrame:
+    """Compress a rollup tier into one Gorilla blob per
+    (source, key, chunk_start) where chunk_start = date_trunc(chunk_unit).
 
-    Output: source, key, n_points, t_min, t_max, blob (binary). Points are
-    (bucket_start ms, value_col as double), sorted by bucket."""
+    Time-chunking bounds every ``applyInPandas`` group (and every later
+    decode of a blob) to one chunk of one key — a hot key's multi-year
+    series never has to fit in a single executor's memory, and retention
+    can drop whole chunks. ``chunk_unit=None`` restores one blob per key.
+
+    Output: source, key, chunk_start, n_points, t_min, t_max, blob (binary).
+    Points are (bucket_start ms, value_col as double), sorted by bucket."""
 
     def enc(pdf):
         import pandas as pd
@@ -203,6 +210,7 @@ def encode_tier(tier: DataFrame, value_col: str = "n_tok_sum") -> DataFrame:
             {
                 "source": [pdf["source"].iloc[0]],
                 "key": [pdf["key"].iloc[0]],
+                "chunk_start": [pdf["chunk_start"].iloc[0]],
                 "n_points": [len(ts_ms)],
                 "t_min": [min(ts_ms)],
                 "t_max": [max(ts_ms)],
@@ -210,17 +218,25 @@ def encode_tier(tier: DataFrame, value_col: str = "n_tok_sum") -> DataFrame:
             }
         )
 
-    return tier.select("source", "key", "bucket_start", value_col).groupBy(
-        "source", "key"
-    ).applyInPandas(
-        enc,
-        schema="source string, key bigint, n_points int, t_min bigint, "
-               "t_max bigint, blob binary",
+    chunk = (
+        F.date_trunc(chunk_unit, "bucket_start") if chunk_unit
+        else F.to_timestamp(F.lit("1970-01-01 00:00:00"))
+    )
+    return (
+        tier.select("source", "key", "bucket_start", value_col)
+        .withColumn("chunk_start", chunk)
+        .groupBy("source", "key", "chunk_start")
+        .applyInPandas(
+            enc,
+            schema="source string, key bigint, chunk_start timestamp, "
+                   "n_points int, t_min bigint, t_max bigint, blob binary",
+        )
     )
 
 
 def decode_tier(blobs: DataFrame, value_col: str = "n_tok_sum") -> DataFrame:
-    """Inverse of encode_tier: explode blobs back into points."""
+    """Inverse of encode_tier: explode blobs back into points. Column-wise
+    iteration (zip over numpy arrays) — no pandas iterrows."""
 
     def dec(batches):
         import pandas as pd
@@ -229,15 +245,18 @@ def decode_tier(blobs: DataFrame, value_col: str = "n_tok_sum") -> DataFrame:
 
         for pdf in batches:
             rows = {"source": [], "key": [], "ts_ms": [], "value": []}
-            for _, row in pdf.iterrows():
-                ts, vals = decode_points(bytes(row["blob"]))
-                rows["source"].extend([row["source"]] * len(ts))
-                rows["key"].extend([row["key"]] * len(ts))
+            for src, key, blob in zip(
+                pdf["source"].to_numpy(), pdf["key"].to_numpy(),
+                pdf["blob"].to_numpy()
+            ):
+                ts, vals = decode_points(bytes(blob))
+                rows["source"].extend([src] * len(ts))
+                rows["key"].extend([key] * len(ts))
                 rows["ts_ms"].extend(ts)
                 rows["value"].extend(vals)
             yield pd.DataFrame(rows)
 
-    out = blobs.mapInPandas(
+    out = blobs.select("source", "key", "blob").mapInPandas(
         dec, schema="source string, key bigint, ts_ms bigint, value double"
     )
     return out.select(

@@ -58,6 +58,13 @@ def asof_join(
         c for c in right.columns if c not in (*keys, right_ts)
     ]
     l_cols = [c for c in left.columns]
+    clash = [c for c in value_cols if c in l_cols and c not in keys]
+    if clash:
+        raise ValueError(
+            f"asof_join: right value columns {clash} collide with non-key "
+            "left columns — rename them (the union/LOCF plan would silently "
+            "overwrite the left side and emit ambiguous columns)"
+        )
     lu = left.select(
         *l_cols,
         F.col(left_ts).alias("_ats"),

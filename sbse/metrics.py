@@ -15,8 +15,12 @@ I64_MAX = (1 << 63) - 1
 
 
 def clamp_u64(col):
-    """uint64 -> int64 persist clamp (db/client.go:131-139)."""
-    return F.least(col.cast("bigint"), F.lit(I64_MAX))
+    """uint64 -> int64 persist clamp (db/client.go:131-139). Comparison in
+    decimal(38,0) so values beyond int64 clamp instead of overflowing in
+    the cast (the Go code compares in uint64 for the same reason)."""
+    return F.least(
+        col.cast("decimal(38,0)"), F.lit(I64_MAX).cast("decimal(38,0)")
+    ).cast("bigint")
 
 
 def clamp_read(col):
@@ -24,7 +28,8 @@ def clamp_read(col):
     return F.greatest(col.cast("bigint"), F.lit(0))
 
 
-def run_metrics(decoded: DataFrame, sessions: DataFrame | None = None) -> DataFrame:
+def run_metrics(decoded: DataFrame, sessions: DataFrame | None = None,
+                proc_ms: int | None = None) -> DataFrame:
     hist = F.array(
         *[
             F.sum(
@@ -49,6 +54,14 @@ def run_metrics(decoded: DataFrame, sessions: DataFrame | None = None) -> DataFr
         hist,
     ]
     m = decoded.agg(*aggs)
+    if proc_ms is not None:
+        # A5 processing-time counter (stats.go:128-132; persisted via the
+        # same u64 clamp as every counter, db/client.go:131-139). Callers
+        # pass measured wall time — nondeterministic, so this column stays
+        # out of oracle-checked outputs (checkpoint manifests carry it too).
+        # lit(str) -> decimal: a uint64-scale literal overflows a LongType lit
+        m = m.withColumn("proc_time_ms",
+                         clamp_u64(F.lit(str(proc_ms)).cast("decimal(38,0)")))
     if sessions is not None:
         s = sessions.agg(
             F.count(F.lit(1)).alias("created_sessions"),

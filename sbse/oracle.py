@@ -88,7 +88,7 @@ SELECT session_id, source, key,
   max_by(lon_m, ord) AS last_lon,
   max(altitude_m) AS max_altitude,
   max(ground_speed_m) AS max_ground_speed,
-  CAST(round(max(ground_speed_m)) AS BIGINT) AS max_ground_speed_i,
+  CAST(round_even(max(ground_speed_m), 0) AS BIGINT) AS max_ground_speed_i,
   bool_or(is_trailing) AS is_open
 FROM sess_events
 GROUP BY session_id, source, key
@@ -221,6 +221,37 @@ SELECT key, count(*) AS cnt, max(altitude_m) AS max_altitude
 FROM m
 WHERE ts BETWEEN TIMESTAMP '2024-01-02 00:00:00' AND TIMESTAMP '2024-01-05 00:00:00'
 GROUP BY key"""
+
+    # Clamp semantics (q17): DuckDB computes the pre-clamp values in
+    # HUGEINT (exact, like Spark's decimal(38,0)), clamps with LEAST/GREATEST
+    # and casts back — identical math to metrics.clamp_u64/clamp_read.
+    i64max = "9223372036854775807"
+    q["q17_metrics_clamped"] = f"""{p30}
+SELECT source, count(*) AS cnt,
+  CAST(LEAST(CAST(sum(n_tok) AS HUGEINT) * CAST({1 << 48} AS HUGEINT),
+             CAST({i64max} AS HUGEINT)) AS BIGINT) AS tok_scaled_clamped,
+  CAST(LEAST(CAST('9223372036854775808' AS HUGEINT),
+             CAST({i64max} AS HUGEINT)) AS BIGINT) AS clamp_over_edge,
+  CAST(LEAST(CAST({i64max} AS HUGEINT),
+             CAST({i64max} AS HUGEINT)) AS BIGINT) AS clamp_max_identity,
+  CAST(GREATEST(0, 0) AS BIGINT) AS clamp_zero_edge,
+  CAST(GREATEST(CAST(min(n_tok) - 1000000 AS BIGINT), 0) AS BIGINT)
+    AS neg_gauge_read
+FROM st GROUP BY source"""
+
+    # Desc-ordered range scan (q18): LIMIT under a deterministic total order
+    # (ts desc, doc_id asc) — the compare is set-wise, the order pins the set.
+    q["q18_recent_states"] = f"""{p30}
+SELECT doc_id, source, key, ts, altitude_m
+FROM m ORDER BY ts DESC, doc_id ASC LIMIT 100"""
+
+    # Gorilla round-trip: the engine encodes the 1h tier into blobs and
+    # decodes it back; the oracle is the plain rollup (value as double) —
+    # matching hashes prove the codec is lossless inside the engine.
+    q["q19_gorilla_roundtrip"] = f"""{p30}
+SELECT source, key, date_trunc('hour', ts) AS bucket_start,
+  CAST(CAST(sum(n_tok) AS BIGINT) AS DOUBLE) AS n_tok_sum
+FROM o GROUP BY source, key, date_trunc('hour', ts)"""
 
     q.update(_datapipe_oracles())
     return q

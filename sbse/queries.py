@@ -247,6 +247,61 @@ def q14_range_scan(spark, sf_dir):
     )
 
 
+def q17_metrics_clamped(spark, sf_dir):
+    """Clamp semantics, oracle-checked (db/client.go:131-139 persist clamp,
+    227-235 read clamp; edge values per client_test.go:1017-1057): a
+    uint64-scale per-source counter (sum(n_tok) * 2^48 — exceeds int64 at
+    this sf) clamps to 2^63-1 on persist; literal edges 2^63 and 2^63-1 and
+    0 clamp as the reference's tests pin; a data-derived negative gauge
+    clamps to 0 on read-back."""
+    from sbse.metrics import clamp_read, clamp_u64
+
+    d = states_only(_decoded(spark, sf_dir))
+    big = F.sum(F.col("n_tok").cast("decimal(38,0)")) * F.lit(1 << 48).cast(
+        "decimal(38,0)"
+    )
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        clamp_u64(big).alias("tok_scaled_clamped"),
+        clamp_u64(F.lit("9223372036854775808").cast("decimal(38,0)"))
+        .alias("clamp_over_edge"),
+        clamp_u64(F.lit("9223372036854775807").cast("decimal(38,0)"))
+        .alias("clamp_max_identity"),
+        clamp_read(F.lit(0)).alias("clamp_zero_edge"),
+        clamp_read(F.min("n_tok") - F.lit(1_000_000)).alias("neg_gauge_read"),
+    )
+
+
+def q18_recent_states(spark, sf_dir):
+    """S12's ORDER BY time DESC variant (GetSystemStats, db/client.go:176):
+    the 100 most recent merged states, deterministic total order
+    (ts desc, doc_id asc). Sort+limit plans as TakeOrderedAndProject —
+    no global sort at scale."""
+    m = _merged(spark, sf_dir)
+    return (
+        m.select("doc_id", "source", "key", "ts", "altitude_m")
+        .orderBy(F.desc("ts"), F.asc("doc_id"))
+        .limit(100)
+    )
+
+
+def q19_gorilla_roundtrip(spark, sf_dir):
+    """Gorilla codec THROUGH the real Spark plumbing, oracle-checked: the 1h
+    tier is encoded into delta-of-delta/XOR blobs (per source/key/month
+    chunk, applyInPandas) and decoded back (mapInPandas); the oracle is the
+    plain SQL rollup — equality proves the codec round-trips every point
+    bit-exactly inside the engine, not just in unit tests."""
+    from sbse.gorilla import decode_tier, encode_tier
+    from sbse.session import ensure_shipped
+
+    ensure_shipped(spark)
+    r = _rollup(spark, sf_dir, "hour").select(
+        "source", "key", "bucket_start", "n_tok_sum"
+    )
+    return decode_tier(encode_tier(r, "n_tok_sum", chunk_unit="month"),
+                       "n_tok_sum")
+
+
 # --- training-data pipeline queries (documents / embeddings) ---------------
 
 def _docs(spark, sf_dir):
@@ -330,6 +385,9 @@ def all_queries():
         "q14_range_scan": q14_range_scan,
         "q15_interval_join": q15_interval_join,
         "q16_asof_join": q16_asof_join,
+        "q17_metrics_clamped": q17_metrics_clamped,
+        "q18_recent_states": q18_recent_states,
+        "q19_gorilla_roundtrip": q19_gorilla_roundtrip,
         "q20_dedup_exact": q20_dedup_exact,
         "q21_ngram_jaccard": q21_ngram_jaccard,
         "q22_minhash_lsh": q22_minhash_lsh,

@@ -202,7 +202,9 @@ def session_rollup(sess_events: DataFrame) -> DataFrame:
         "max_altitude",
         "max_ground_speed",
         # lossy DB coercion preserved: flights.max_ground_speed INTEGER
-        # (schema.sql:40) rounds the Go float64 on insert.
-        F.round("max_ground_speed").cast("bigint").alias("max_ground_speed_i"),
+        # (schema.sql:40) — Go float64 -> Postgres INTEGER rounds
+        # half-to-even, so bround (not round: half-away diverges at .5);
+        # the oracle mirrors with DuckDB round_even.
+        F.bround("max_ground_speed").cast("bigint").alias("max_ground_speed_i"),
         F.col("is_trailing").alias("is_open"),
     )

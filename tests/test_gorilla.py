@@ -96,5 +96,51 @@ def test_spark_tier_roundtrip(spark):
         for r in back.collect()
     )
     assert got == want
-    n_series = tier.select("source", "key").distinct().count()
-    assert blobs.count() == n_series
+    from pyspark.sql import functions as F
+
+    n_chunks = (
+        tier.select("source", "key", F.date_trunc("month", "bucket_start"))
+        .distinct().count()
+    )
+    assert blobs.count() == n_chunks
+
+
+def test_hot_key_chunked_encode(spark):
+    """A single hot key with 1M minutely points spanning ~23 months encodes
+    as per-month chunks — no group ever holds the key's full history
+    (round-1 OOM/skew risk) — and round-trips exactly."""
+    from pyspark.sql import functions as F
+
+    from sbse.gorilla import decode_tier, encode_tier
+
+    n = 1_000_000
+    tier = spark.range(n).select(
+        F.lit("s0").alias("source"),
+        F.lit(1).cast("bigint").alias("key"),
+        F.timestamp_millis(
+            F.lit(1672531200000) + F.col("id") * 60_000
+        ).alias("bucket_start"),
+        (F.col("id") % 7).cast("bigint").alias("n_tok_sum"),
+    )
+    blobs = encode_tier(tier, "n_tok_sum", chunk_unit="month")
+    stats = blobs.agg(
+        F.count(F.lit(1)).alias("n_blobs"),
+        F.max("n_points").alias("max_pts"),
+        F.sum("n_points").alias("total_pts"),
+        F.sum(F.length("blob")).alias("bytes"),
+    ).collect()[0]
+    assert stats["n_blobs"] >= 23          # chunked by month, not one blob
+    assert stats["max_pts"] <= 31 * 24 * 60  # a chunk holds <= one month
+    assert stats["total_pts"] == n
+    assert stats["bytes"] < n * 16 * 0.25  # still compresses
+    back = decode_tier(blobs, "n_tok_sum")
+    agg = back.agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("n_tok_sum").alias("vsum"),
+        F.min("bucket_start").cast("string").alias("tmin"),
+        F.max("bucket_start").cast("string").alias("tmax"),
+    ).collect()[0]
+    assert agg["cnt"] == n
+    assert agg["vsum"] == float(sum(i % 7 for i in range(7)) * (n // 7)
+                                + sum(i % 7 for i in range(n % 7)))
+    assert agg["tmin"] == "2023-01-01 00:00:00"

@@ -65,3 +65,18 @@ def test_clamps(spark):
     )
     got = sorted((r.persisted, r.read_back) for r in df.collect())
     assert got == [(-5, 0), (0, 0), (999999999, 999999999), (I64_MAX, I64_MAX)]
+
+
+def test_run_metrics_proc_time_clamped(spark):
+    """A5 processing-time counter, persisted through the u64 clamp
+    (stats.go:128-132 + db/client.go:131-139): a uint64-scale duration
+    clamps to 2^63-1; a sane one passes through."""
+    from sbse.decode import decode
+    from sbse.metrics import I64_MAX, run_metrics
+    from sbse.tokens import synth
+
+    d = decode(synth(spark, 200), "expr")
+    m = run_metrics(d, proc_ms=12345).collect()[0]
+    assert m.proc_time_ms == 12345
+    m2 = run_metrics(d, proc_ms=(1 << 64) - 1).collect()[0]
+    assert m2.proc_time_ms == I64_MAX

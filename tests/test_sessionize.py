@@ -159,3 +159,15 @@ def test_partition_invariance(spark):
     a = sorted(map(str, run(df).collect()))
     b = sorted(map(str, run(df.repartition(13)).collect()))
     assert a == b
+
+
+def test_max_ground_speed_rounds_half_even(spark):
+    """Go float64 -> Postgres INTEGER coercion rounds half-to-even
+    (schema.sql:40); the engine uses bround so exact .5 speeds match the
+    reference (round() would round half away from zero)."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(2.5,), (3.5,), (-2.5,)], "v double")
+    got = [r[0] for r in df.select(
+        F.bround("v").cast("bigint")).collect()]
+    assert sorted(got) == [-2, 2, 4]
