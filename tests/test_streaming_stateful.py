@@ -1,0 +1,142 @@
+"""Custom stateful streaming sessionizer (applyInPandasWithState + TTL
+timeout): closed sessions emitted across microbatch boundaries must equal
+the batch engine's session_rollup on the same input — ids included."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from tests.conftest import make_token_rows
+from tests.test_sessionize import mk
+
+STATE_DDL = "source string, key bigint, ts timestamp, seq bigint, altitude_m int"
+SENTINEL_TS = "2030-01-01 00:00:00"
+
+
+def _merged_states(spark, rows):
+    from sbse.decode import decode
+    from sbse.sessionize import locf_merge, states_only
+
+    return locf_merge(states_only(decode(make_token_rows(spark, rows), "expr")))
+
+
+def test_stateful_sessions_match_batch_across_microbatches(spark, tmp_path):
+    from sbse.sessionize import session_rollup, sessionize
+    from sbse.streaming.stateful import stateful_sessions
+
+    rows = [
+        mk(i, s, key=k)
+        for i, (s, k) in enumerate(
+            (s, k) for k in (1, 2, 3) for s in (0, 10, 100, 110, 400, 1000)
+        )
+    ]
+    merged = _merged_states(spark, rows)
+
+    # batch truth: every session closed
+    batch = session_rollup(sessionize(merged, gap_ms=30_000, close_trailing=True))
+    want = {
+        (r.session_id, r.source, r.key, str(r.started_at), str(r.ended_at),
+         r.n_events, r.max_altitude)
+        for r in batch.collect()
+    }
+
+    # stream input: 3 chronological files + a far-future sentinel per key
+    # (the sentinel closes each key's trailing session by gap; its own
+    # session stays open in state and is never emitted)
+    data = sorted(
+        merged.select("source", "key", "ts", "seq", "altitude_m").collect(),
+        key=lambda r: (r.ts, r.seq),
+    )
+    thirds = [data[: len(data) // 3], data[len(data) // 3: 2 * len(data) // 3],
+              data[2 * len(data) // 3:]]
+    # sentinel rows for only HALF the keys: those keys' trailing sessions
+    # close via the in-data gap; the other keys' trailing sessions must be
+    # emitted by the event-time TTL TIMEOUT once the sentinel batch pushes
+    # the watermark past their last_seen + gap — both paths tested at once.
+    keys = sorted({(r.source, r.key) for r in data})
+    sentinel = [(s, k, SENTINEL_TS, 10**9, 0) for s, k in keys[::2]]
+    src_dir = tmp_path / "stream"
+    src_dir.mkdir()
+    for i, chunk in enumerate([*thirds, sentinel]):
+        df = spark.createDataFrame(
+            [(r[0], r[1], str(r[2]), r[3], r[4]) for r in chunk],
+            "source string, key bigint, ts string, seq bigint, altitude_m int",
+        ).select("source", "key", F.to_timestamp("ts").alias("ts"), "seq",
+                 "altitude_m")
+        p = str(src_dir / f"f{i}")
+        df.coalesce(1).write.parquet(p)
+        for root, _, files in os.walk(p):  # strictly increasing mtimes ->
+            for f in files:                # deterministic microbatch order
+                os.utime(os.path.join(root, f), (1_700_000_000 + i,
+                                                 1_700_000_000 + i))
+
+    stream = (
+        spark.readStream.schema(STATE_DDL)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src_dir))
+    )
+    assert stream.isStreaming
+    out = stateful_sessions(stream, gap_ms=30_000)
+    q = (
+        out.writeStream.format("memory").queryName("stateful_sess")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.session_id, r.source, r.key, str(r.started_at), str(r.ended_at),
+         r.n_events, r.max_altitude)
+        for r in spark.sql("SELECT * FROM stateful_sess").collect()
+        if str(r.started_at) != SENTINEL_TS
+    }
+    assert got == want
+    assert len(want) >= 9  # 3 keys x >=3 sessions: the fixture is non-trivial
+
+
+def test_stateful_sessions_batch_boundary_merge(spark, tmp_path):
+    """A session that STRADDLES a microbatch boundary (continuation rows in
+    the next file within the gap) is merged in state, not split."""
+    from sbse.streaming.stateful import stateful_sessions
+
+    f1 = [("s0", 1, "2024-01-01 00:00:00", 0, 100),
+          ("s0", 1, "2024-01-01 00:00:10", 1, 200)]
+    f2 = [("s0", 1, "2024-01-01 00:00:20", 2, 150),
+          ("s0", 1, "2024-01-01 00:10:00", 3, 50)]   # new session
+    f3 = [("s0", 1, SENTINEL_TS, 9, 0)]
+    src_dir = tmp_path / "stream2"
+    src_dir.mkdir()
+    for i, chunk in enumerate([f1, f2, f3]):
+        df = spark.createDataFrame(
+            chunk, "source string, key bigint, ts string, seq bigint, "
+                   "altitude_m int"
+        ).select("source", "key", F.to_timestamp("ts").alias("ts"), "seq",
+                 "altitude_m")
+        p = str(src_dir / f"f{i}")
+        df.coalesce(1).write.parquet(p)
+        for root, _, files in os.walk(p):
+            for f in files:
+                os.utime(os.path.join(root, f), (1_700_000_000 + i,
+                                                 1_700_000_000 + i))
+    stream = (
+        spark.readStream.schema(STATE_DDL)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src_dir))
+    )
+    out = stateful_sessions(stream, gap_ms=30_000)
+    q = (
+        out.writeStream.format("memory").queryName("stateful_sess2")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    rows = sorted(
+        spark.sql("SELECT * FROM stateful_sess2").collect(),
+        key=lambda r: r.started_at,
+    )
+    assert len(rows) == 2
+    first, second = rows
+    assert (str(first.started_at), str(first.ended_at), first.n_events,
+            first.max_altitude) == (
+        "2024-01-01 00:00:00", "2024-01-01 00:00:20", 3, 200)
+    assert (str(second.started_at), second.n_events) == (
+        "2024-01-01 00:10:00", 1)
