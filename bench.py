@@ -34,6 +34,8 @@ HEADLINE = [
     "q20_dedup_exact",
     "q22_minhash_lsh",
     "q25_text_quality",
+    "q26_ann_topk",
+    "q30_simhash_candidates",
 ]
 
 

@@ -90,11 +90,22 @@ def _partition_stats(df: DataFrame, date_col: str) -> dict:
         )
         .collect()
     )
-    return {
+    stats = {
         r[LOG_DATE]: {"rows": int(r["rows"]), "ts_min": r["ts_min"],
                       "ts_max": r["ts_max"]}
         for r in rows
     }
+    if None in stats:
+        # A NULL time value would land in __HIVE_DEFAULT_PARTITION__, break
+        # max()/min() over the snapshot stats, and then be silently dropped
+        # by every range read — refuse loudly instead (detected inside the
+        # same stats job; no extra scan).
+        raise ValueError(
+            f"{stats[None]['rows']} row(s) have NULL {date_col!r}; a "
+            f"partitioned table's time column must be non-null — filter or "
+            f"repair upstream"
+        )
+    return stats
 
 
 # ---------------------------------------------------------------------------

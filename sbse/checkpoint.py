@@ -12,6 +12,10 @@ main.go:90) — as a partition-grain resume protocol:
   (``partition_fingerprints``: groupBy(ck_part) + commutative bit_xor of a
   full-content row hash — doc_id, n_tok AND the token array, so changed
   token contents invalidate a partition even when ids/lengths collide);
+* partitions that need compute are staged ONCE via
+  ``write.partitionBy(ck_part)`` (a cold run scans the raw input exactly
+  once; each per-partition pipeline then reads only its own pruned
+  ``ck_part=<p>/`` directory — the hash predicate alone cannot prune files);
 * each partition runs the full pipeline and atomically writes its outputs
   under ``<warehouse>/<table>/ck_part=<p>/`` (tables with a time column are
   further date-partitioned ``log_date=yyyy-MM-dd`` — the catalog layout, so
@@ -113,6 +117,9 @@ def run_partitioned(
     labeled = checkpoint_partition(token_df, n_parts)
     fps = partition_fingerprints(labeled)
     summary: dict[int, str] = {}
+
+    # Pass 1 (control plane): decide which partitions need compute.
+    todo: list[int] = []
     for p in range(n_parts):
         mpath = _manifest_path(warehouse, run_id, p)
         n, h = fps.get(p, (0, 0))
@@ -122,8 +129,32 @@ def run_partitioned(
             if manifest["input_rows"] == n and manifest["input_hash"] == h:
                 summary[p] = "skipped"
                 continue
+        todo.append(p)
+    if not todo:
+        return summary
+
+    # Stage the needed partitions ONCE, partitionBy(ck_part): the hash
+    # predicate `ck_part == p` cannot prune files on the raw input, so the
+    # round-2 per-partition filter cost n_parts full input scans on a cold
+    # run. One up-front write turns that into 1 scan + n_parts
+    # partition-PRUNED reads (each subset's inputFiles live under its own
+    # ck_part=<p>/ dir — asserted in test_checkpoint). Scratch data; removed
+    # after a fully successful run.
+    import shutil
+
+    spark = token_df.sparkSession
+    staging = os.path.join(warehouse, "_staging", run_id)
+    (
+        labeled.filter(F.col("ck_part").isin([int(p) for p in todo]))
+        .write.mode("overwrite").partitionBy("ck_part").parquet(staging)
+    )
+    staged = spark.read.parquet(staging)
+
+    for p in todo:
+        mpath = _manifest_path(warehouse, run_id, p)
+        n, h = fps.get(p, (0, 0))
         t0 = time.monotonic()
-        subset = labeled.filter(F.col("ck_part") == p).drop("ck_part")
+        subset = staged.filter(F.col("ck_part") == p).drop("ck_part")
         outputs = pipeline_fn(subset)
         out_meta = {}
         for table, df in outputs.items():
@@ -146,4 +177,5 @@ def run_partitioned(
             json.dump(manifest, f, indent=1, sort_keys=True)
         os.replace(tmp, mpath)  # atomic: manifest exists only if outputs do
         summary[p] = "computed"
+    shutil.rmtree(staging, ignore_errors=True)  # success: staging is scratch
     return summary

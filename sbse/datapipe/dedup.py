@@ -188,13 +188,22 @@ def simhash64(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return votes.select("doc_id", sim_expr.alias("simhash"))
 
 
-def simhash_candidates(sims: DataFrame, max_hamming: int = 8,
-                       n_bands: int = 4) -> DataFrame:
+def simhash_candidates(sims: DataFrame, max_hamming: int = 7,
+                       n_bands: int = 8) -> DataFrame:
     """Near-dup candidates via band collision (any identical 64/n_bands-bit
     slice of the simhash) then exact Hamming filter via bit_count(xor).
     Pigeonhole guarantee: every pair with hamming < n_bands shares a clean
-    band; above that recall is probabilistic — raise n_bands for looser
-    max_hamming."""
+    band — the defaults (7, 8) keep the guarantee total over the requested
+    radius. Callers asking for max_hamming >= n_bands would get only
+    probabilistic recall in (n_bands-1, max_hamming]; that is refused loudly
+    rather than silently degraded — raise n_bands (any divisor of 64) to
+    cover the requested radius."""
+    if max_hamming >= n_bands:
+        raise ValueError(
+            f"max_hamming={max_hamming} >= n_bands={n_bands}: the pigeonhole "
+            f"guarantee only covers hamming < n_bands; raise n_bands (must "
+            f"divide 64) to cover the requested radius"
+        )
     width = 64 // n_bands
     mask = (1 << width) - 1
     banded = None
@@ -217,5 +226,6 @@ def simhash_candidates(sims: DataFrame, max_hamming: int = 8,
         .distinct()
     )
     return cand.withColumn(
-        "hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+        "hamming",
+        F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).cast("int"),
     ).filter(F.col("hamming") <= max_hamming).select("doc_a", "doc_b", "hamming")

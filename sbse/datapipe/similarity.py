@@ -75,7 +75,8 @@ def _sample_centroids(embs: DataFrame, n_cells: int):
     sort), L2-normalized. Sampling from the data (instead of random
     directions) makes the cell caps tight on clustered embeddings, which is
     what makes the triangle-inequality pruning bite. Control-plane payload:
-    n_cells × dim doubles."""
+    n_cells × dim doubles. Returns None on an empty input (callers produce
+    an empty result instead of crashing on np.stack([]))."""
     import numpy as np
 
     rows = (
@@ -84,15 +85,24 @@ def _sample_centroids(embs: DataFrame, n_cells: int):
         .limit(n_cells)
         .collect()
     )
+    if not rows:
+        return None
     mat = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
     nrm = np.linalg.norm(mat, axis=1)
     nrm[nrm == 0.0] = 1.0
     return (mat / nrm[:, None]).T  # (dim, C)
 
 
+# Centroid-block width for the assignment matmul: bounds the (batch × block)
+# scratch at 64k-row Arrow batches to 64k × 1024 doubles = 512 MB worst case
+# — independent of n_cells, so C can grow to 10⁵+ without per-task OOM.
+_ASSIGN_BLOCK = 1024
+
+
 def _assign_cells(embs: DataFrame, cents) -> DataFrame:
     """Add (cell, cap_cos): nearest centroid and the vector's cosine to it.
-    Vectorized Arrow batch matmul — one pass, no per-row Python."""
+    Vectorized Arrow batch matmul, blocked over centroid columns so scratch
+    memory is O(batch × _ASSIGN_BLOCK), not O(batch × C)."""
     from pyspark.sql.functions import pandas_udf
 
     schema = StructType(
@@ -104,14 +114,25 @@ def _assign_cells(embs: DataFrame, cents) -> DataFrame:
         import numpy as np
         import pandas as pd
 
+        if len(col) == 0:
+            return pd.DataFrame({"cell": pd.Series([], dtype="int32"),
+                                 "cap_cos": pd.Series([], dtype="float64")})
         mat = np.stack(col.to_numpy()).astype(np.float64)  # (n, dim)
-        sims = mat @ cents  # (n, C) dot to unit centroids
+        n = mat.shape[0]
+        C = cents.shape[1]
+        best = np.full(n, -np.inf)
+        cell = np.zeros(n, dtype=np.int32)
+        for c0 in range(0, C, _ASSIGN_BLOCK):
+            sims = mat @ cents[:, c0:c0 + _ASSIGN_BLOCK]  # (n, block)
+            bm = sims.max(axis=1)
+            ba = sims.argmax(axis=1).astype(np.int32) + c0
+            upd = bm > best  # strict: keeps the FIRST argmax, like np.argmax
+            cell[upd] = ba[upd]
+            best[upd] = bm[upd]
         nrm = np.linalg.norm(mat, axis=1)
         zero = nrm == 0.0
         nrm[zero] = 1.0
-        cos = sims / nrm[:, None]
-        cell = cos.argmax(axis=1).astype(np.int32)
-        cap = cos.max(axis=1)
+        cap = best / nrm
         cap[zero] = -1.0  # zero vectors: full cap, never pruned
         return pd.DataFrame({"cell": cell, "cap_cos": cap})
 
@@ -120,12 +141,20 @@ def _assign_cells(embs: DataFrame, cents) -> DataFrame:
     ).drop("_a")
 
 
+# Above this cell count the candidate-pair grid moves off the driver: the
+# C×C triangle-inequality test runs as a Spark join over the C-row cell
+# table instead of one driver-side ndarray (which at C=10⁵ would be 10¹⁰
+# doubles — driver OOM).
+_DRIVER_GRID_MAX_CELLS = 1024
+
+
 def _candidate_cell_pairs(cell_stats: list, threshold: float, cents) -> list:
     """Complete candidate cell pairs: (i, j) survives iff two vectors in the
     caps of cells i and j could still have cosine >= threshold, by the
     spherical triangle inequality  angle(a,b) >= angle(ci,cj) - phi_i - phi_j
     where phi = the cell's cap half-angle. Vectorized over the C×C grid —
-    control-plane only."""
+    driver-side control plane, used only when C <= _DRIVER_GRID_MAX_CELLS
+    (8 MB grid); larger C goes through _candidate_cell_pairs_spark."""
     import numpy as np
 
     if not cell_stats:
@@ -139,6 +168,57 @@ def _candidate_cell_pairs(cell_stats: list, threshold: float, cents) -> list:
     ok = np.maximum(0.0, theta - phi[:, None] - phi[None, :]) <= t_ang + 1e-9
     ii, jj = np.nonzero(ok)
     return [(int(ids[i]), int(ids[j])) for i, j in zip(ii, jj)]
+
+
+def _candidate_cell_pairs_spark(spark, cell_stats: list, threshold: float,
+                                cents) -> list:
+    """Same predicate as _candidate_cell_pairs, evaluated on the DATA plane:
+    the C-row (cell, cap, centroid) table is self-joined in Spark and the
+    spherical-triangle-inequality test runs in a vectorized Arrow batch UDF,
+    so no C×C ndarray ever exists on the driver — driver memory stays O(C)
+    for the cell table plus O(surviving pairs) for the result (the same
+    payload the broadcast join needs anyway). The join is a broadcast nested
+    loop over C control-plane rows (NOT the N-row data tables — the q24 main
+    plan stays BNLJ-free; asserted in tests)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    if not cell_stats:
+        return []
+    t_ang = math.acos(max(-1.0, min(1.0, threshold)))
+
+    cells = spark.createDataFrame(
+        pd.DataFrame({
+            "cell": [int(r[0]) for r in cell_stats],
+            "cap": [float(r[1]) for r in cell_stats],
+            "cent": [cents[:, int(r[0])].tolist() for r in cell_stats],
+        }),
+        schema="cell int, cap double, cent array<double>",
+    )
+
+    @pandas_udf("boolean")
+    def survives(cent_a, cap_a, cent_b, cap_b):
+        import numpy as np
+
+        if len(cent_a) == 0:
+            return pd.Series([], dtype="bool")
+        ca = np.stack(cent_a.to_numpy())
+        cb = np.stack(cent_b.to_numpy())
+        theta = np.arccos(np.clip(np.einsum("ij,ij->i", ca, cb), -1.0, 1.0))
+        phi_a = np.arccos(np.clip(cap_a.to_numpy(), -1.0, 1.0))
+        phi_b = np.arccos(np.clip(cap_b.to_numpy(), -1.0, 1.0))
+        return pd.Series(
+            np.maximum(0.0, theta - phi_a - phi_b) <= t_ang + 1e-9
+        )
+
+    a = cells.select(F.col("cell").alias("ca"), F.col("cap").alias("pa"),
+                     F.col("cent").alias("ea"))
+    b = cells.select(F.col("cell").alias("cb"), F.col("cap").alias("pb"),
+                     F.col("cent").alias("eb"))
+    pairs = a.join(F.broadcast(b)).filter(
+        survives(F.col("ea"), F.col("pa"), F.col("eb"), F.col("pb"))
+    )
+    return [(int(r["ca"]), int(r["cb"])) for r in pairs.select("ca", "cb").collect()]
 
 
 def _np_cos_prefilter():
@@ -176,11 +256,17 @@ def cosine_neardup_pairs(
     DuckDB oracle) on the survivors only.
 
     Scale path: centroid sampling is a top-K; assignment is one vectorized
-    pass; cell stats are C rows of control-plane state; the pair join
-    shuffles on cell ids. At 10⁹ vectors raise ``n_cells`` so cells stay
-    bounded and persist the assigned table to a staging location instead of
-    localCheckpoint."""
+    pass blocked over centroid columns (task memory independent of n_cells);
+    cell stats are C rows of control-plane state; above
+    _DRIVER_GRID_MAX_CELLS cells the candidate cell-pair pruning runs as a
+    Spark join on the C-row cell table (no C² ndarray on the driver); the
+    pair join shuffles on cell ids. At 10⁹ vectors raise ``n_cells`` so
+    cells stay bounded and persist the assigned table to a staging location
+    instead of localCheckpoint."""
+    spark = embs.sparkSession
     cents = _sample_centroids(embs, n_cells)
+    if cents is None:  # empty input
+        return spark.createDataFrame([], "id_a bigint, id_b bigint")
     assigned = _assign_cells(
         embs.select("vec_id", "embedding", _norm_col().alias("nrm")), cents
     ).localCheckpoint(eager=False)
@@ -188,8 +274,10 @@ def cosine_neardup_pairs(
         (int(r["cell"]), float(r["mc"]))
         for r in assigned.groupBy("cell").agg(F.min("cap_cos").alias("mc")).collect()
     ]
-    cp = _candidate_cell_pairs(stats, threshold, cents)
-    spark = embs.sparkSession
+    if len(stats) <= _DRIVER_GRID_MAX_CELLS:
+        cp = _candidate_cell_pairs(stats, threshold, cents)
+    else:
+        cp = _candidate_cell_pairs_spark(spark, stats, threshold, cents)
     if not cp:
         return spark.createDataFrame([], "id_a bigint, id_b bigint")
     cpdf = F.broadcast(spark.createDataFrame(cp, "cell_a int, cp_cell_b int"))
@@ -237,14 +325,13 @@ def ann_topk_bruteforce(embs: DataFrame, k: int = 5,
     )
 
 
-def _lsh_bucket(e: str, n_planes: int, dim: int):
-    """Hyperplane-sign bucket with md5-derived ±1 components (plane_signs).
+def _band_bucket(e: str, signs_band: list[list[int]]):
+    """Hyperplane-sign bucket for ONE band from its ±1 plane rows.
     The per-plane projection is an ordered fold over products — bit-exact in
     DuckDB (list_transform + list_sum), so buckets match across engines."""
-    signs = plane_signs(n_planes, dim)
     bits = None
-    for p in range(n_planes):
-        s_arr = F.array(*[F.lit(float(s)) for s in signs[p]])
+    for p, row in enumerate(signs_band):
+        s_arr = F.array(*[F.lit(float(s)) for s in row])
         comp = F.aggregate(
             F.zip_with(F.col(e), s_arr, lambda x, s: x.cast("double") * s),
             F.lit(0.0),
@@ -255,23 +342,53 @@ def _lsh_bucket(e: str, n_planes: int, dim: int):
     return bits
 
 
+def band_plane_signs(n_planes: int, n_bands: int, dim: int) -> list[list[list[int]]]:
+    """Per-band plane rows: band b uses global planes
+    [b*n_planes, (b+1)*n_planes) of ``plane_signs`` — one shared generator
+    for engine and oracle, so all bands' buckets are portable."""
+    all_signs = plane_signs(n_planes * n_bands, dim)
+    return [all_signs[b * n_planes:(b + 1) * n_planes] for b in range(n_bands)]
+
+
 def ann_topk_lsh(embs: DataFrame, k: int = 5, n_planes: int = 6,
-                 dim: int = 64) -> DataFrame:
-    """LSH-bucketed approximate top-k: candidates share a hyperplane-sign
-    bucket; brute force within bucket only. ``n_planes`` sets 2^P buckets —
-    at scale raise it so per-bucket populations stay executor-sized.
+                 dim: int = 64, n_bands: int = 1) -> DataFrame:
+    """Multi-band hyperplane-LSH approximate top-k (the minhash_lsh_pairs
+    shape applied to ANN): ``n_bands`` independent plane-sets of
+    ``n_planes`` planes each; candidates are pairs sharing ANY band's bucket
+    (OR across bands — per-band equi-join, distinct); survivors get exact
+    ordered-fold cosines and a per-query rank.
+
+    Scale economics: per-band cost is O(Σ|bucket|²) with 2^n_planes buckets
+    — raise ``n_planes`` so buckets stay executor-sized (candidate count
+    drops ~2× per plane) and raise ``n_bands`` to recover the recall that
+    sharper buckets lose (recall ≈ 1-(1-s^P)^B for pair similarity s). The
+    within-bucket wall round 2 flagged is gone: unlike a single wide-bucket
+    band, bands-of-sharp-buckets keeps BOTH population and recall bounded.
 
     Output keeps (rank) and drops the raw cosine: ranking order is
     bit-identical across engines (ordered folds), which is what the oracle
     checks; the float itself stays out of hashed results."""
-    n = embs.select("vec_id", "embedding", _norm_col().alias("nrm")).withColumn(
-        "bucket", _lsh_bucket("embedding", n_planes, dim)
+    bands = band_plane_signs(n_planes, n_bands, dim)
+    n = embs.select("vec_id", "embedding", _norm_col().alias("nrm"))
+    for b in range(n_bands):
+        n = n.withColumn(f"bucket{b}", _band_bucket("embedding", bands[b]))
+    n = n.localCheckpoint(eager=False)  # buckets computed once, reused 3×
+    long = n.select(
+        "vec_id",
+        F.posexplode(F.array(*[F.col(f"bucket{b}") for b in range(n_bands)]))
+        .alias("band_id", "bucket"),
     )
-    a = n.select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_e"),
-                 F.col("nrm").alias("q_n"), "bucket")
-    b = n.select("vec_id", "embedding", "nrm", F.col("bucket").alias("bucket_b"))
-    pairs = a.join(b, (F.col("bucket") == F.col("bucket_b"))
-                   & (F.col("q_id") != F.col("vec_id")))
+    a = long.select(F.col("vec_id").alias("q_id"), "band_id", "bucket")
+    cand = (
+        a.join(long, ["band_id", "bucket"])
+        .filter(F.col("q_id") != F.col("vec_id"))
+        .select("q_id", "vec_id")
+        .distinct()
+    )
+    q = n.select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_e"),
+                 F.col("nrm").alias("q_n"))
+    nb = n.select("vec_id", "embedding", "nrm")
+    pairs = cand.join(q, "q_id").join(nb, "vec_id")
     cos = _dot(F.col("q_e"), F.col("embedding")) / (F.col("q_n") * F.col("nrm"))
     scored = pairs.select("q_id", "vec_id", cos.alias("cos"))
     w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("vec_id"))

@@ -234,6 +234,30 @@ def encode_tier(tier: DataFrame, value_col: str = "n_tok_sum",
     )
 
 
+def write_blob_tier(tier: DataFrame, path: str, value_col: str = "n_tok_sum",
+                    chunk_unit: str = "month") -> dict:
+    """Encode a rollup tier and store the blobs UNDER THE CATALOG LIFECYCLE:
+    ``log_date``-partitioned by ``chunk_start`` (one date dir per chunk
+    period), with a snapshot manifest. Retention then drops whole chunk
+    partitions as O(1) directory removals — the reference's hypertable
+    chunk-drop semantics (002_retention_policies.go:7-11) applied to the
+    compressed store, not just the row tiers. Returns the snapshot."""
+    from sbse import catalog
+
+    blobs = encode_tier(tier, value_col, chunk_unit=chunk_unit)
+    return catalog.write_partitioned(blobs, path, date_col="chunk_start")
+
+
+def read_blob_tier(spark, path: str, value_col: str = "n_tok_sum",
+                   start: str | None = None, end: str | None = None) -> DataFrame:
+    """Partition-pruned read + decode of a stored blob tier: only chunk
+    partitions inside [start, end] ('yyyy-MM-dd') are scanned or decoded."""
+    from sbse import catalog
+
+    blobs = catalog.read_partitioned(spark, path, start=start, end=end)
+    return decode_tier(blobs.drop("log_date"), value_col)
+
+
 def decode_tier(blobs: DataFrame, value_col: str = "n_tok_sum") -> DataFrame:
     """Inverse of encode_tier: explode blobs back into points. Column-wise
     iteration (zip over numpy arrays) — no pandas iterrows."""

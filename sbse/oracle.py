@@ -360,7 +360,7 @@ WHERE list_sum(list_transform(list_zip(a.e, b.e),
         f"(CASE WHEN 2*s{b} > nw THEN CAST({(1 << b) if b < 63 else '-9223372036854775807 - 1'} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
         for b in range(64)
     )
-    q["q23_simhash"] = f"""
+    simhash_sql = f"""
 WITH w AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
 ),
@@ -376,6 +376,33 @@ v AS (
   FROM dg GROUP BY doc_id
 )
 SELECT doc_id, CAST({sim_terms} AS BIGINT) AS simhash FROM v"""
+    q["q23_simhash"] = simhash_sql
+
+    # SimHash band candidates (q30): 8 width-8 bands. Band extraction
+    # `(simhash >> s) & 255` is portable: DuckDB's >> is arithmetic, but the
+    # mask keeps only the low 8 bits of the shifted value, which are
+    # identical under arithmetic and logical shift for s > 0 (and for s = 56
+    # the masked byte IS the top byte) — matching Spark's
+    # shiftrightunsigned + bitwiseAND. xor/bit_count are two's-complement in
+    # both engines (bit_count(-1) = 64 in each).
+    n_sim_bands, sim_width = 8, 8
+    sim_mask = (1 << sim_width) - 1
+    sim_band_union = " UNION ALL ".join(
+        f"SELECT doc_id, simhash, {b} AS band_id, "
+        f"(simhash >> {b * sim_width}) & {sim_mask} AS band FROM s"
+        for b in range(n_sim_bands)
+    )
+    q["q30_simhash_candidates"] = f"""
+WITH s AS ({simhash_sql}),
+banded AS ({sim_band_union}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+    a.simhash AS sim_a, b.simhash AS sim_b
+  FROM banded a JOIN banded b
+    ON a.band_id = b.band_id AND a.band = b.band AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, CAST(bit_count(xor(sim_a, sim_b)) AS INT) AS hamming
+FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= 7"""
 
     # Language heuristic — same stopword tables (text.LANG_WORDS), same
     # left-to-right score sums, same greatest + explicit en > de > es
@@ -399,38 +426,53 @@ SELECT doc_id, lang,
   CASE WHEN best <= 0 THEN 'und' {prio} ELSE 'und' END AS lang_guess
 FROM s"""
 
-    # ANN top-k via hyperplane LSH buckets — the SAME md5-derived ±1 plane
-    # signs as the engine (sbse.datapipe.similarity.plane_signs), ordered
-    # folds for projections/cosines, row_number tiebreak on vec_id. The
-    # bucket ids and ranks are therefore bit-identical across engines.
-    from sbse.datapipe.similarity import plane_signs
+    # ANN top-k via MULTI-BAND hyperplane LSH — the SAME md5-derived ±1
+    # plane rows as the engine (sbse.datapipe.similarity.band_plane_signs),
+    # ordered folds for projections/cosines, candidates = DISTINCT pairs
+    # sharing ANY band's bucket, row_number tiebreak on vec_id. Bucket ids
+    # and ranks are therefore bit-identical across engines.
+    from sbse.datapipe.similarity import band_plane_signs
 
-    n_planes, dim, k = 6, 64, 5
-    signs = plane_signs(n_planes, dim)
-    plane_terms = []
-    for p in range(n_planes):
-        arr = "[" + ", ".join(f"{float(s):.1f}" for s in signs[p]) + "]"
-        comp = (
-            f"list_sum(list_transform(list_zip(embedding, {arr}), "
-            f"p -> CAST(p[1] AS DOUBLE) * p[2]))"
-        )
-        plane_terms.append(f"(CASE WHEN {comp} > 0 THEN {1 << p} ELSE 0 END)")
-    bucket = " + ".join(plane_terms)
+    n_planes, n_bands, dim, k = 6, 3, 64, 5
+    bands = band_plane_signs(n_planes, n_bands, dim)
+    bucket_cols = []
+    for b in range(n_bands):
+        plane_terms = []
+        for p in range(n_planes):
+            arr = "[" + ", ".join(f"{float(s):.1f}" for s in bands[b][p]) + "]"
+            comp = (
+                f"list_sum(list_transform(list_zip(embedding, {arr}), "
+                f"p -> CAST(p[1] AS DOUBLE) * p[2]))"
+            )
+            plane_terms.append(f"(CASE WHEN {comp} > 0 THEN {1 << p} ELSE 0 END)")
+        bucket_cols.append(" + ".join(plane_terms) + f" AS bucket{b}")
+    buckets = ",\n    ".join(bucket_cols)
+    band_union = " UNION ALL ".join(
+        f"SELECT vec_id, {b} AS band_id, bucket{b} AS bucket FROM n"
+        for b in range(n_bands)
+    )
     q["q26_ann_topk"] = f"""
 WITH n AS (
   SELECT vec_id, embedding AS e,
     sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))) AS nrm,
-    {bucket} AS bucket
+    {buckets}
   FROM embeddings
+),
+bands AS ({band_union}),
+cand AS (
+  SELECT DISTINCT a.vec_id AS q_id, b.vec_id AS neighbor_id
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.bucket = b.bucket AND a.vec_id <> b.vec_id
 )
 SELECT q_id, neighbor_id, rank FROM (
-  SELECT a.vec_id AS q_id, b.vec_id AS neighbor_id,
+  SELECT c.q_id, c.neighbor_id,
     CAST(row_number() OVER (
-      PARTITION BY a.vec_id
-      ORDER BY (list_sum(list_transform(list_zip(a.e, b.e),
+      PARTITION BY c.q_id
+      ORDER BY (list_sum(list_transform(list_zip(qa.e, nb.e),
                   p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
-                / (a.nrm * b.nrm)) DESC, b.vec_id ASC) AS INT) AS rank
-  FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+                / (qa.nrm * nb.nrm)) DESC, c.neighbor_id ASC) AS INT) AS rank
+  FROM cand c JOIN n qa ON qa.vec_id = c.q_id
+              JOIN n nb ON nb.vec_id = c.neighbor_id
 ) WHERE rank <= {k}"""
 
     # Text quality / language heuristics + token counting.

@@ -121,14 +121,30 @@ def q09_gapfill_1h(spark, sf_dir):
     return gapfill_locf(_rollup(spark, sf_dir, "hour"), "hour")
 
 
-def _wh(sf_dir: str, table: str) -> str:
-    """Deterministic warehouse path for catalog-backed queries (gitignored
-    scratch under the repo; rebuilt per call — tier tables are tiny next to
-    raw, and at 100 TB these would be long-lived managed tables)."""
-    import os
+_WH_RUN_ID: str | None = None
 
-    root = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+
+def _wh(sf_dir: str, table: str) -> str:
+    """Per-process-unique warehouse path for catalog-backed queries
+    (gitignored scratch under the repo; rebuilt per call — tier tables are
+    tiny next to raw, and at 100 TB these would be long-lived managed
+    tables). The run-unique component keeps two concurrent harness
+    processes (or two datasets sharing a directory basename) from racing
+    each other's non-atomic overwrite writes."""
+    import os
+    import uuid
+
+    global _WH_RUN_ID
+    base = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                         ".warehouse")
+    if _WH_RUN_ID is None:
+        import atexit
+        import shutil
+
+        _WH_RUN_ID = f"{os.getpid()}-{uuid.uuid4().hex[:8]}"
+        atexit.register(shutil.rmtree, os.path.join(base, _WH_RUN_ID),
+                        ignore_errors=True)
+    root = os.path.join(base, _WH_RUN_ID)
     return os.path.join(root, os.path.basename(os.path.normpath(sf_dir)), table)
 
 
@@ -345,9 +361,12 @@ def q23_simhash(spark, sf_dir):
 
 
 def q26_ann_topk(spark, sf_dir):
-    # LSH-bucketed ANN (the scale path; brute force stays test-side as the
-    # recall baseline). Buckets + ranks are bit-identical in DuckDB.
-    return sim.ann_topk_lsh(_embs(spark, sf_dir), k=5, n_planes=6, dim=64)
+    # Multi-band LSH ANN (the scale path; brute force stays test-side as
+    # the recall baseline): 3 independent 6-plane bands, per-band equi-join,
+    # distinct candidates, exact ordered-fold rank — the minhash_lsh_pairs
+    # shape. Buckets + ranks are bit-identical in DuckDB.
+    return sim.ann_topk_lsh(_embs(spark, sf_dir), k=5, n_planes=6, dim=64,
+                            n_bands=3)
 
 
 def q27_doc_fingerprint(spark, sf_dir):
@@ -365,6 +384,14 @@ def q28_multimodal_features(spark, sf_dir):
 
 def q29_lang_guess(spark, sf_dir):
     return tx.lang_guess(_docs(spark, sf_dir))
+
+
+def q30_simhash_candidates(spark, sf_dir):
+    # SimHash near-dup candidates: 8 width-8 bands (pigeonhole-complete for
+    # hamming <= 7), per-band equi-join, distinct, exact bit_count(xor)
+    # Hamming filter — portable integer SQL, oracle-checked.
+    return dd.simhash_candidates(dd.simhash64(_docs(spark, sf_dir)),
+                                 max_hamming=7, n_bands=8)
 
 
 def all_queries():
@@ -398,4 +425,5 @@ def all_queries():
         "q27_doc_fingerprint": q27_doc_fingerprint,
         "q28_multimodal_features": q28_multimodal_features,
         "q29_lang_guess": q29_lang_guess,
+        "q30_simhash_candidates": q30_simhash_candidates,
     }

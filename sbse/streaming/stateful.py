@@ -20,7 +20,9 @@ engine derives, so outputs are comparable row-for-row
 (test_streaming_stateful asserts equality with batch session_rollup).
 
 Assumes per-key event-time order across microbatches (the file/NATS replay
-shape); the batch engine remains the authority for out-of-order reprocessing.
+shape) — and ENFORCES it: a batch row older than the carried session's end
+raises instead of silently mis-placing a boundary; the batch engine remains
+the authority for out-of-order reprocessing.
 """
 
 from __future__ import annotations
@@ -100,6 +102,17 @@ def stateful_sessions(states: DataFrame, gap_ms: int = GAP_MS_NORTH,
         closed = []
         i0 = 0
         if s_start is not None:
+            if int(ts[0]) < last:
+                # The operator assumes per-key event-time order ACROSS
+                # microbatches (file/NATS replay shape). A row older than
+                # the carried session's end would silently mis-place the
+                # session boundary — fail the query loudly instead; the
+                # batch engine is the authority for out-of-order replays.
+                raise ValueError(
+                    f"out-of-order replay for key ({source}, {k}): batch "
+                    f"starts at {int(ts[0])} ms but carried session ends at "
+                    f"{last} ms; re-run through the batch sessionizer"
+                )
             if int(ts[0]) - last <= gap_ms:
                 # first segment continues the carried session
                 last = int(seg_end[0])

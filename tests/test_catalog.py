@@ -102,6 +102,23 @@ def test_expire_handles_nested_ck_part_layout(spark, tmp_path):
     assert left.select("log_date").distinct().collect()[0][0] != "2024-01-01"
 
 
+def test_write_partitioned_refuses_null_dates(spark, tmp_path):
+    """ADVICE r2: a NULL time value would land in __HIVE_DEFAULT_PARTITION__
+    and silently vanish from every range read — write_partitioned must
+    refuse it loudly (detected inside the stats job, no extra scan)."""
+    import datetime as dt
+
+    import pytest
+
+    from sbse import catalog
+
+    df = _states(spark, ["2024-01-01"]).unionByName(
+        spark.createDataFrame([("s0", 2, None, 999, 5, [1])], STATE_SCHEMA)
+    )
+    with pytest.raises(ValueError, match="NULL 'ts'"):
+        catalog.write_partitioned(df, str(tmp_path / "t"), date_col="ts")
+
+
 def test_refresh_tier_dirty_window_only(spark, tmp_path):
     from sbse import catalog
     from sbse.rollup import bucket_rollup

@@ -117,6 +117,41 @@ def test_resume_costs_one_job(spark, tmp_path):
     assert len(jobs) <= 2, f"expected <=2 fingerprint jobs, saw {len(jobs)}"
 
 
+def test_cold_run_stages_once_and_prunes(spark, tmp_path):
+    """Cold-run scan economy: the raw input is scanned once into a staged
+    ck_part-partitioned table; every per-partition pipeline reads ONLY its
+    own ck_part=<p>/ directory (partition-pruned), never the raw input
+    (round-2 defect: n_parts full input scans) — and the staging scratch is
+    removed after a fully successful run."""
+    import os
+
+    from sbse.checkpoint import run_partitioned
+    from sbse.tokens import synth
+
+    raw_path = str(tmp_path / "raw_tokens")
+    synth(spark, 1200).write.parquet(raw_path)
+    tok = spark.read.parquet(raw_path)
+    wh = str(tmp_path / "wh")
+
+    seen: list[tuple[str, list[str]]] = []
+
+    def probe(subset):
+        plan = subset._jdf.queryExecution().executedPlan().toString()
+        seen.append((plan, subset.inputFiles()))
+        return _mini_pipeline(subset)
+
+    s = run_partitioned(tok, probe, wh, "stage", n_parts=4)
+    assert set(s.values()) == {"computed"}
+    assert len(seen) == 4
+    for i, (plan, files) in enumerate(seen):
+        # the subset's base relation is the STAGED table, never the raw input
+        assert files and all("_staging" in f for f in files), (i, files)
+        assert not any("raw_tokens" in f for f in files), (i, files)
+        # and its scan is partition-PRUNED to this ck_part
+        assert "ck_part#" in plan and f"= {i})" in plan, (i, plan)
+    assert not os.path.exists(f"{wh}/_staging/stage")  # scratch cleaned up
+
+
 def test_fingerprint_covers_token_content(spark, tmp_path):
     """Same ids, same lengths, different token CONTENT -> partitions
     recompute (a resume must never serve stale outputs)."""

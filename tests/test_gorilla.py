@@ -144,3 +144,53 @@ def test_hot_key_chunked_encode(spark):
     assert agg["vsum"] == float(sum(i % 7 for i in range(7)) * (n // 7)
                                 + sum(i % 7 for i in range(n % 7)))
     assert agg["tmin"] == "2023-01-01 00:00:00"
+
+
+def test_blob_tier_catalog_lifecycle(spark, tmp_path):
+    """Gorilla blobs under the warehouse lifecycle (mirrors
+    test_catalog.test_expire_drops_without_rewrite for the compressed
+    store): blobs land log_date-partitioned by chunk month; expiring a
+    horizon drops whole chunk partitions as O(1) directory removals with
+    survivors byte-untouched; decoding the survivors round-trips the
+    surviving tier points exactly."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from sbse import catalog
+    from sbse.gorilla import read_blob_tier, write_blob_tier
+    from tests.test_catalog import _mtimes
+
+    # 1h tier spanning three months: one (source,key), hourly points
+    tier = spark.range(24 * 90).select(
+        F.lit("s0").alias("source"),
+        F.lit(1).cast("bigint").alias("key"),
+        F.timestamp_millis(
+            F.lit(1704067200000) + F.col("id") * 3_600_000  # 2024-01-01 UTC
+        ).alias("bucket_start"),
+        (F.col("id") % 11).cast("bigint").cast("double").alias("n_tok_sum"),
+    )
+    path = str(tmp_path / "blob_1h")
+    snap = write_blob_tier(tier, path, "n_tok_sum", chunk_unit="month")
+    assert sorted(snap["partitions"]) == ["2024-01-01", "2024-02-01",
+                                          "2024-03-01"]
+
+    feb_before = _mtimes(os.path.join(path, "log_date=2024-02-01"))
+    dropped = catalog.expire_partitions(path, keep_from="2024-02-01")
+    assert dropped == ["2024-01-01"]  # January chunk gone, O(1) dir removal
+    assert _mtimes(os.path.join(path, "log_date=2024-02-01")) == feb_before
+    snap2 = catalog.current_snapshot(path)
+    assert snap2["op"] == "expire"
+    assert sorted(snap2["partitions"]) == ["2024-02-01", "2024-03-01"]
+
+    back = read_blob_tier(spark, path, "n_tok_sum")
+    want = sorted(
+        (r.source, r.key, str(r.bucket_start), float(r.n_tok_sum))
+        for r in tier.filter(
+            F.col("bucket_start") >= "2024-02-01 00:00:00").collect()
+    )
+    got = sorted(
+        (r.source, r.key, str(r.bucket_start), float(r.n_tok_sum))
+        for r in back.collect()
+    )
+    assert got == want
