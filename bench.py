@@ -36,6 +36,7 @@ HEADLINE = [
     "q25_text_quality",
     "q26_ann_topk",
     "q30_simhash_candidates",
+    "q31_ann_ivf",
 ]
 
 

@@ -156,14 +156,26 @@ def minhash_lsh_pairs(
     return _jaccard_from_pairs(inter, card, threshold)
 
 
-def simhash64(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """64-bit SimHash — pure integer/columnar aggregation, no UDF. Word bits
-    come from the first 16 hex digits of md5(word) (bit b = bit (b%4) of
-    digit b//4), which is portable: the DuckDB oracle reproduces the exact
-    same bits, so q23 is hash-checked. Bit b of the simhash is set when more
-    words have it set than clear (2*sum(bit) > count). Bit 63 is added as
-    the int64 min literal (two's complement), all bits are disjoint so
-    addition == OR."""
+def simhash64(docs: DataFrame, text_col: str = "text",
+              mode: str = "arrow") -> DataFrame:
+    """64-bit SimHash. Word bits come from the first 16 hex digits of
+    md5(word) (bit b = bit (b%4) of digit b//4), which is portable: the
+    DuckDB oracle reproduces the exact same bits, so q23 is hash-checked.
+    Bit b of the simhash is set when more words have it set than clear
+    (2*sum(bit) > count).
+
+    Two equality-tested twins (the decode.py pattern):
+    * ``mode='expr'`` — pure Catalyst: 16 digit extractions + 64 bit-sum
+      aggregates + a 64-term assembly. Correct, but the expression tree is
+      too large for whole-stage codegen (0 codegen spans — the entire
+      stage runs interpreted, measured ~6x slower), kept as the
+      plan-transparent reference.
+    * ``mode='arrow'`` (default) — vectorized mapInPandas: per Arrow batch,
+      md5 once per UNIQUE word, a numpy (words × 64) bit matrix via uint64
+      shifts, np.add.at vote accumulation per doc. Embarrassingly parallel,
+      no shuffle at all (the expr twin shuffles once on doc_id)."""
+    if mode == "arrow":
+        return _simhash64_arrow(docs, text_col)
     w = docs.select("doc_id", F.explode(F.split(F.col(text_col), " ")).alias("word"))
     w = w.withColumn("m16", F.substring(F.md5("word"), 1, 16))
     digits = [
@@ -186,6 +198,58 @@ def simhash64(docs: DataFrame, text_col: str = "text") -> DataFrame:
         ).otherwise(F.lit(0).cast("long"))
         sim_expr = term if sim_expr is None else sim_expr + term
     return votes.select("doc_id", sim_expr.alias("simhash"))
+
+
+def _simhash64_arrow(docs: DataFrame, text_col: str) -> DataFrame:
+    """Vectorized SimHash twin: identical bits to the expr path (md5 hex
+    digit b//4, bit b%4), batch-local, no shuffle."""
+
+    def batches(it):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        # bit b of word-pattern v (v = int(md5[:16], 16)): digit i = b//4 is
+        # hex char i of the digest = nibble (15 - i) of v; then bit (b%4).
+        shifts = np.array([4 * (15 - (b // 4)) for b in range(64)],
+                          dtype=np.uint64)
+        subbit = np.array([b % 4 for b in range(64)], dtype=np.uint64)
+        out_shift = np.arange(64, dtype=np.uint64)
+
+        for pdf in it:
+            ids = pdf["doc_id"].to_numpy()
+            sims = np.zeros(len(ids), dtype=np.uint64)
+            cache: dict[str, int] = {}
+            all_words: list[int] = []
+            doc_idx: list[int] = []
+            counts = np.zeros(len(ids), dtype=np.int64)
+            for d, text in enumerate(pdf[text_col]):
+                ws = text.split(" ")
+                counts[d] = len(ws)
+                for wrd in ws:
+                    v = cache.get(wrd)
+                    if v is None:
+                        v = int(hashlib.md5(wrd.encode()).hexdigest()[:16], 16)
+                        cache[wrd] = v
+                    all_words.append(v)
+                    doc_idx.append(d)
+            if all_words:
+                V = np.array(all_words, dtype=np.uint64)
+                bits = ((V[:, None] >> shifts[None, :]) & np.uint64(0xF)) \
+                    >> subbit[None, :] & np.uint64(1)  # (n_words, 64)
+                votes = np.zeros((len(ids), 64), dtype=np.int64)
+                np.add.at(votes, np.asarray(doc_idx), bits.astype(np.int64))
+                majority = (2 * votes > counts[:, None]).astype(np.uint64)
+                sims = (majority << out_shift[None, :]).sum(axis=1,
+                                                            dtype=np.uint64)
+            yield pd.DataFrame(
+                {"doc_id": ids, "simhash": sims.view(np.int64)}
+            )
+
+    return docs.select("doc_id", text_col).mapInPandas(
+        batches, schema="doc_id bigint, simhash bigint"
+    )
 
 
 def simhash_candidates(sims: DataFrame, max_hamming: int = 7,

@@ -325,6 +325,63 @@ def ann_topk_bruteforce(embs: DataFrame, k: int = 5,
     )
 
 
+def ann_topk_ivf(embs: DataFrame, k: int = 5, n_cells: int = 16,
+                 nprobe: int = 2) -> DataFrame:
+    """IVF probe ANN — the inverted-file companion to the LSH path, fully
+    PORTABLE so the DuckDB oracle reproduces it bit-for-bit:
+
+    * centroids = the ``n_cells`` vectors with the smallest
+      (md5(vec_id), vec_id) — deterministic data sampling both engines can
+      compute (TakeOrdered in Spark; ORDER BY/LIMIT in SQL);
+    * every vector's cell = argmax ordered-fold cosine to the centroids
+      (ties -> lowest cell id) — the assignment ranking is a window over the
+      N×C broadcast cross product, which IS the canonical O(N·C) IVF
+      assignment cost;
+    * each query probes its ``nprobe`` nearest cells and brute-forces only
+      the vectors homed there; exact ordered-fold cosine + row_number rank.
+
+    Scale notes: the centroid table is broadcast (C rows); the assignment
+    ranking windows over the N×C scored rows, then only N×nprobe survive;
+    the candidate join is an equi-join on cell. For 10⁹ vectors swap the
+    fold assignment for the numpy blocked matmul (_assign_cells, computes
+    the argmax without materializing N×C rows) — engine-only; the oracle
+    keeps the fold twin at test scale."""
+    n = embs.select("vec_id", "embedding", _norm_col().alias("nrm"))
+    cents_rows = n.withColumn(
+        "h", F.md5(F.col("vec_id").cast("string"))
+    ).orderBy("h", "vec_id").limit(n_cells)
+    wc = Window.orderBy("h", "vec_id")
+    cents = cents_rows.select(
+        (F.row_number().over(wc) - 1).alias("cell"),
+        F.col("embedding").alias("c_e"), F.col("nrm").alias("c_n"),
+    )
+    pairs = n.crossJoin(F.broadcast(cents))
+    cellcos = _dot(F.col("embedding"), F.col("c_e")) / (F.col("nrm") * F.col("c_n"))
+    wa = Window.partitionBy("vec_id").orderBy(F.desc("cellcos"), F.asc("cell"))
+    asg = (
+        pairs.select("vec_id", "embedding", "nrm", "cell", cellcos.alias("cellcos"))
+        .withColumn("rn", F.row_number().over(wa))
+        .filter(F.col("rn") <= nprobe)
+        .localCheckpoint(eager=False)
+    )
+    home = asg.filter(F.col("rn") == 1).select(
+        F.col("vec_id"), F.col("embedding"), F.col("nrm"), "cell"
+    )
+    probe = asg.select(F.col("vec_id").alias("q_id"),
+                       F.col("embedding").alias("q_e"),
+                       F.col("nrm").alias("q_n"), "cell")
+    cand = probe.join(home, "cell").filter(F.col("q_id") != F.col("vec_id"))
+    cos = _dot(F.col("q_e"), F.col("embedding")) / (F.col("q_n") * F.col("nrm"))
+    scored = cand.select("q_id", "vec_id", cos.alias("cos"))
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", F.col("vec_id").alias("neighbor_id"),
+                F.col("rank").cast("int").alias("rank"))
+    )
+
+
 def _band_bucket(e: str, signs_band: list[list[int]]):
     """Hyperplane-sign bucket for ONE band from its ±1 plane rows.
     The per-plane projection is an ordered fold over products — bit-exact in

@@ -475,6 +475,48 @@ SELECT q_id, neighbor_id, rank FROM (
               JOIN n nb ON nb.vec_id = c.neighbor_id
 ) WHERE rank <= {k}"""
 
+    # IVF probe ANN (q31) — same deterministic centroid sampling
+    # (md5(vec_id) order), same ordered-fold cosines for assignment and
+    # ranking, same (cos DESC, id ASC) tie-breaks as the engine — so cells,
+    # probes and ranks are bit-identical across engines.
+    ivf_cells, ivf_nprobe, ivf_k = 16, 2, 5
+    fold = ("list_sum(list_transform(list_zip({a}, {b}), "
+            "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))")
+    q["q31_ann_ivf"] = f"""
+WITH n AS (
+  SELECT vec_id, embedding AS e,
+    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))) AS nrm
+  FROM embeddings
+),
+co AS (
+  SELECT vec_id AS cvid, e AS ce, nrm AS cn
+  FROM n ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {ivf_cells}
+),
+c AS (
+  SELECT *, CAST(row_number() OVER (
+    ORDER BY md5(CAST(cvid AS VARCHAR)), cvid) - 1 AS INT) AS cell
+  FROM co
+),
+asg AS (
+  SELECT v.vec_id, v.e, v.nrm, c.cell,
+    row_number() OVER (
+      PARTITION BY v.vec_id
+      ORDER BY ({fold.format(a='v.e', b='c.ce')} / (v.nrm * c.cn)) DESC,
+               c.cell ASC) AS rn
+  FROM n v CROSS JOIN c
+),
+home AS (SELECT vec_id, e, nrm, cell FROM asg WHERE rn = 1),
+probe AS (SELECT vec_id AS q_id, e AS qe, nrm AS qn, cell
+          FROM asg WHERE rn <= {ivf_nprobe})
+SELECT q_id, neighbor_id, rank FROM (
+  SELECT p.q_id, h.vec_id AS neighbor_id,
+    CAST(row_number() OVER (
+      PARTITION BY p.q_id
+      ORDER BY ({fold.format(a='p.qe', b='h.e')} / (p.qn * h.nrm)) DESC,
+               h.vec_id ASC) AS INT) AS rank
+  FROM probe p JOIN home h ON h.cell = p.cell AND h.vec_id <> p.q_id
+) WHERE rank <= {ivf_k}"""
+
     # Text quality / language heuristics + token counting.
     q["q25_text_quality"] = """
 SELECT doc_id, lang, source,

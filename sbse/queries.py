@@ -386,6 +386,13 @@ def q29_lang_guess(spark, sf_dir):
     return tx.lang_guess(_docs(spark, sf_dir))
 
 
+def q31_ann_ivf(spark, sf_dir):
+    # IVF probe ANN (the inverted-file companion to q26's LSH path):
+    # deterministic md5-sampled centroids, fold-cosine cell assignment,
+    # nprobe=2 probing, exact ranked top-k — bit-identical in DuckDB.
+    return sim.ann_topk_ivf(_embs(spark, sf_dir), k=5, n_cells=16, nprobe=2)
+
+
 def q30_simhash_candidates(spark, sf_dir):
     # SimHash near-dup candidates: 8 width-8 bands (pigeonhole-complete for
     # hamming <= 7), per-band equi-join, distinct, exact bit_count(xor)
@@ -426,4 +433,5 @@ def all_queries():
         "q28_multimodal_features": q28_multimodal_features,
         "q29_lang_guess": q29_lang_guess,
         "q30_simhash_candidates": q30_simhash_candidates,
+        "q31_ann_ivf": q31_ann_ivf,
     }

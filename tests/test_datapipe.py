@@ -78,6 +78,20 @@ def test_simhash(spark):
         simhash_candidates(sims, max_hamming=8, n_bands=4)
 
 
+def test_simhash_twins_equal(spark):
+    """The vectorized Arrow simhash (default) is bit-identical to the pure
+    Catalyst expr twin on real corpus data — same guarantee the decode
+    twins carry."""
+    from sbse.datapipe.dedup import simhash64
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    expr = {r.doc_id: r.simhash
+            for r in simhash64(docs, mode="expr").collect()}
+    arrow = {r.doc_id: r.simhash
+             for r in simhash64(docs, mode="arrow").collect()}
+    assert expr == arrow and len(expr) == 500
+
+
 EMB_SCHEMA = "vec_id bigint, embedding array<float>, label int"
 
 
@@ -167,6 +181,25 @@ def test_ann_bruteforce_and_lsh_recall(spark):
     got_a = {(r.q_id, r.neighbor_id) for r in approx.collect()}
     recall = len(got_a & got) / len(got)
     assert recall >= 0.8, f"LSH recall {recall}"
+
+
+def test_ann_ivf_recall(spark):
+    """IVF probe ANN (q31): deterministic md5-sampled centroids group the
+    clusters; probing 2 cells recovers the brute-force top-k on the
+    clustered fixture."""
+    from sbse.datapipe.similarity import ann_topk_bruteforce, ann_topk_ivf
+
+    embs = _embs(spark)
+    exact = {(r.q_id, r.neighbor_id) for r in
+             ann_topk_bruteforce(embs, k=3).collect()}
+    ivf = ann_topk_ivf(embs, k=3, n_cells=4, nprobe=2)
+    got = {(r.q_id, r.neighbor_id) for r in ivf.collect()}
+    recall = len(got & exact) / len(exact)
+    assert recall >= 0.8, f"IVF recall {recall}"
+    # determinism: same output on a re-run
+    again = {(r.q_id, r.neighbor_id) for r in
+             ann_topk_ivf(embs, k=3, n_cells=4, nprobe=2).collect()}
+    assert got == again
 
 
 def test_ann_multiband_recall_at_10k(spark):
