@@ -257,6 +257,34 @@ FROM o GROUP BY source, key, date_trunc('hour', ts)"""
     return q
 
 
+def _frame_sample_oracle(n_frames: int = 4, frame_bytes: int = 64) -> str:
+    """q32: uniform frame sampling with EXACT integer half-up index
+    selection — mirrors multimodal.sample_frames. The engine slices binary
+    payloads; the corpus is ASCII so slicing the VARCHAR text yields the
+    same bytes, and md5(varchar) == md5(blob) over them."""
+    fb = frame_bytes
+    return f"""
+WITH d AS (
+  SELECT doc_id, text, length(text) // {fb} AS total FROM documents
+),
+k AS (
+  SELECT doc_id, text, total, LEAST({n_frames}, total) AS take
+  FROM d WHERE total >= 1
+),
+idx AS (
+  SELECT doc_id, text, total,
+    CASE WHEN take = 1 THEN 0
+         ELSE (2 * i * (total - 1) + (take - 1)) // (2 * (take - 1)) END
+      AS frame_idx
+  FROM k, unnest(generate_series(0, take - 1)) AS g(i)
+)
+SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+  CAST(total AS BIGINT) AS n_frames_total,
+  md5(substring(text, CAST(frame_idx * {fb} + 1 AS BIGINT), {fb}))
+    AS frame_md5
+FROM idx"""
+
+
 # ---------------------------------------------------------------------------
 # Training-data pipeline oracles (documents / embeddings tables).
 # ---------------------------------------------------------------------------
@@ -563,5 +591,7 @@ SELECT d.doc_id,
   s.byte_sum,
   CAST(s.byte_sum % 997 AS BIGINT) AS fake_feature
 FROM documents d JOIN s USING (doc_id)"""
+
+    q["q32_frame_sample"] = _frame_sample_oracle()
 
     return q

@@ -386,6 +386,22 @@ def q29_lang_guess(spark, sf_dir):
     return tx.lang_guess(_docs(spark, sf_dir))
 
 
+def q32_frame_sample(spark, sf_dir):
+    # Multimodal frame sampling (1 -> N fan-out over binary payloads):
+    # integer half-up uniform selection is bit-reproducible in SQL; frames
+    # are compared by md5 (corpus is ASCII, so the oracle slices text).
+    from sbse.datapipe import multimodal as mm
+    from sbse.session import ensure_shipped
+
+    ensure_shipped(spark)
+    media = mm.to_binary_payload(_docs(spark, sf_dir))
+    fr = mm.sample_frames(media, n_frames=4, frame_bytes=64)
+    return fr.select(
+        "doc_id", "frame_idx", "n_frames_total",
+        F.md5("frame").alias("frame_md5"),
+    )
+
+
 def q31_ann_ivf(spark, sf_dir):
     # IVF probe ANN (the inverted-file companion to q26's LSH path):
     # deterministic md5-sampled centroids, fold-cosine cell assignment,
@@ -434,4 +450,5 @@ def all_queries():
         "q29_lang_guess": q29_lang_guess,
         "q30_simhash_candidates": q30_simhash_candidates,
         "q31_ann_ivf": q31_ann_ivf,
+        "q32_frame_sample": q32_frame_sample,
     }

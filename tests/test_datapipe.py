@@ -398,3 +398,39 @@ def test_multimodal_plumbing(spark):
     assert feats[0].fake_feature == sum(BASE.encode()) % 997
     with pytest.raises(NotImplementedError):
         decode_media(media, "image")
+
+
+def test_multimodal_resize_and_frames(spark):
+    """Resize (1->1 binary kernel) and frame sampling (1->N fan-out) over
+    binary payloads: deterministic stand-in kernels, numpy-verified, with
+    the short-payload edge paths exercised."""
+    import numpy as np
+
+    from sbse.datapipe.multimodal import (resize_image, sample_frames,
+                                          to_binary_payload)
+
+    long_doc = "x" * 500
+    tiny = "ab"  # shorter than one frame AND one thumbnail
+    d = _docs(spark, [long_doc, tiny])
+    media = to_binary_payload(d)
+
+    thumbs = {r.doc_id: r for r in resize_image(media, 4, 4).collect()}
+    assert (thumbs[0].width, thumbs[0].height) == (4, 4)
+    assert len(bytes(thumbs[0].thumb)) == 16
+    buf = np.frombuffer(long_doc.encode(), dtype=np.uint8)
+    block = len(buf) // 16
+    want = buf[: block * 16].reshape(16, block).mean(axis=1).astype(np.uint8)
+    assert bytes(thumbs[0].thumb) == want.tobytes()
+    assert len(bytes(thumbs[1].thumb)) == 16  # zero-padded short payload
+
+    frames = sample_frames(media, n_frames=3, frame_bytes=100)
+    rows = frames.collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert 1 not in by_doc                     # tiny payload -> zero frames
+    f0 = sorted(by_doc[0], key=lambda r: r.frame_idx)
+    assert [r.frame_idx for r in f0] == [0, 2, 4]   # uniform over 5 frames
+    assert all(r.n_frames_total == 5 for r in f0)
+    assert all(len(bytes(r.frame)) == 100 for r in f0)
+    assert bytes(f0[1].frame) == long_doc.encode()[200:300]
