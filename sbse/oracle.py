@@ -253,6 +253,25 @@ SELECT source, key, date_trunc('hour', ts) AS bucket_start,
   CAST(CAST(sum(n_tok) AS BIGINT) AS DOUBLE) AS n_tok_sum
 FROM o GROUP BY source, key, date_trunc('hour', ts)"""
 
+    # Exact per-bucket quantiles by integer rank selection (q33) — mirrors
+    # queries.q33_rollup_quantiles; // is DuckDB's integer division (Spark
+    # DIV). Value-at-rank is tie-order-invariant, so no secondary sort key
+    # is needed.
+    q["q33_rollup_quantiles"] = f"""{p30},
+base AS (
+  SELECT source, date_trunc('hour', ts) AS bucket_start, n_tok FROM st
+),
+r AS (
+  SELECT *,
+    row_number() OVER (PARTITION BY source, bucket_start ORDER BY n_tok) AS rn,
+    count(*) OVER (PARTITION BY source, bucket_start) AS cnt
+  FROM base
+)
+SELECT source, bucket_start, count(*) AS cnt,
+  max(CASE WHEN rn = (cnt - 1) // 2 + 1 THEN n_tok END) AS ntok_p50,
+  max(CASE WHEN rn = (19 * (cnt - 1)) // 20 + 1 THEN n_tok END) AS ntok_p95
+FROM r GROUP BY source, bucket_start"""
+
     q.update(_datapipe_oracles())
     return q
 

@@ -386,6 +386,35 @@ def q29_lang_guess(spark, sf_dir):
     return tx.lang_guess(_docs(spark, sf_dir))
 
 
+def q33_rollup_quantiles(spark, sf_dir):
+    """Per-(source, hour) EXACT n_tok quantiles (p50/p95) by rank
+    selection: row_number over an in-bucket sort, pick the value at rank
+    (cnt-1) DIV 2 + 1 / (19*(cnt-1)) DIV 20 + 1 — pure integer rank math,
+    so the result is bit-portable (float percentile interpolation is not:
+    the two engines' last-ulp behavior can differ). Tie order is
+    irrelevant: the VALUE at a rank is unique under ties on the sort key.
+    At 100 TB the scale twin is percentile_approx (one pass, mergeable
+    sketch, no per-bucket sort) — engine-only because its sketch is not
+    reproducible in DuckDB; this exact rank path doubles as its test
+    oracle at small sf."""
+    d = states_only(_decoded(spark, sf_dir)).select(
+        "source", F.date_trunc("hour", "ts").alias("bucket_start"), "n_tok"
+    )
+    w = Window.partitionBy("source", "bucket_start").orderBy("n_tok")
+    wc = Window.partitionBy("source", "bucket_start")
+    r = (
+        d.withColumn("rn", F.row_number().over(w))
+        .withColumn("cnt", F.count(F.lit(1)).over(wc))
+    )
+    p50_rank = F.expr("(cnt - 1) DIV 2 + 1")
+    p95_rank = F.expr("(19 * (cnt - 1)) DIV 20 + 1")
+    return r.groupBy("source", "bucket_start").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.max(F.when(F.col("rn") == p50_rank, F.col("n_tok"))).alias("ntok_p50"),
+        F.max(F.when(F.col("rn") == p95_rank, F.col("n_tok"))).alias("ntok_p95"),
+    )
+
+
 def q32_frame_sample(spark, sf_dir):
     # Multimodal frame sampling (1 -> N fan-out over binary payloads):
     # integer half-up uniform selection is bit-reproducible in SQL; frames
@@ -451,4 +480,5 @@ def all_queries():
         "q30_simhash_candidates": q30_simhash_candidates,
         "q31_ann_ivf": q31_ann_ivf,
         "q32_frame_sample": q32_frame_sample,
+        "q33_rollup_quantiles": q33_rollup_quantiles,
     }

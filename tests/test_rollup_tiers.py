@@ -102,3 +102,41 @@ def test_expire_partitions(tmp_path, spark):
     dropped = expire_partitions(str(base), keep=lambda v: v >= "2023-01-15")
     assert dropped == ["2023-01-01", "2023-01-02"]
     assert sorted(p.name for p in base.iterdir()) == ["log_date=2023-02-01"]
+
+
+def test_quantile_scale_twin_accuracy(spark):
+    """q33's exact rank-selection quantiles double as the accuracy oracle
+    for the 100 TB scale twin (percentile_approx: one-pass mergeable
+    sketch, no per-bucket sort). With accuracy=10000 the sketch must land
+    within 1 rank-percentile of the exact value on every bucket."""
+    from pyspark.sql import functions as F
+
+    from sbse.queries import q33_rollup_quantiles
+
+    sf = "/root/testdata/sf0.01"
+    exact = {(r.source, str(r.bucket_start)): (r.cnt, r.ntok_p50, r.ntok_p95)
+             for r in q33_rollup_quantiles(spark, sf).collect()}
+
+    from sbse.queries import _decoded
+    from sbse.sessionize import states_only
+
+    d = states_only(_decoded(spark, sf)).select(
+        "source", F.date_trunc("hour", "ts").alias("bucket_start"), "n_tok")
+    approx = {
+        (r.source, str(r.bucket_start)): (r.a50, r.a95)
+        for r in d.groupBy("source", "bucket_start").agg(
+            F.percentile_approx("n_tok", 0.5, 10000).alias("a50"),
+            F.percentile_approx("n_tok", 0.95, 10000).alias("a95"),
+        ).collect()
+    }
+    assert set(exact) == set(approx)
+    values = {}
+    for r in d.collect():
+        values.setdefault((r.source, str(r.bucket_start)), []).append(r.n_tok)
+    for key, (cnt, p50, p95) in exact.items():
+        vs = sorted(values[key])
+        a50, a95 = approx[key]
+        for a, p in ((a50, 0.5), (a95, 0.95)):
+            lo = vs[max(0, int((p - 0.01) * (cnt - 1)))]
+            hi = vs[min(cnt - 1, int((p + 0.01) * (cnt - 1)) + 1)]
+            assert lo <= a <= hi, (key, p, a, lo, hi)
