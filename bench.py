@@ -37,6 +37,7 @@ HEADLINE = [
     "q26_ann_topk",
     "q30_simhash_candidates",
     "q31_ann_ivf",
+    "q33_rollup_quantiles",
 ]
 
 
