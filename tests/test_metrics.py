@@ -80,3 +80,26 @@ def test_run_metrics_proc_time_clamped(spark):
     assert m.proc_time_ms == 12345
     m2 = run_metrics(d, proc_ms=(1 << 64) - 1).collect()[0]
     assert m2.proc_time_ms == I64_MAX
+
+
+def test_distinct_scale_twin_accuracy(spark):
+    """q02's active_keys is an EXACT countDistinct (shuffles the distinct
+    set). The 100 TB scale twin is approx_count_distinct (HyperLogLog++:
+    one pass, mergeable, fixed memory); the exact value pins its error
+    within the configured 2% rsd."""
+    from pyspark.sql import functions as F
+
+    from sbse.decode import decode
+    from sbse.tokens import token_table_from_events
+
+    tok = token_table_from_events(spark, "/root/testdata/sf0.01")
+    d = decode(tok.localCheckpoint(eager=False), mode="expr")
+    keyed = d.filter(F.col("ok") & F.col("key").isNotNull()).select(
+        F.concat("source", F.lit("|"), F.col("key").cast("string")).alias("k")
+    )
+    row = keyed.agg(
+        F.countDistinct("k").alias("exact"),
+        F.approx_count_distinct("k", 0.02).alias("approx"),
+    ).collect()[0]
+    assert row.exact > 0
+    assert abs(row.approx - row.exact) <= max(3, 0.05 * row.exact), row
