@@ -171,3 +171,41 @@ def test_max_ground_speed_rounds_half_even(spark):
     got = [r[0] for r in df.select(
         F.bround("v").cast("bigint")).collect()]
     assert sorted(got) == [-2, 2, 4]
+
+
+def test_sessionize_property_random_streams(spark):
+    """Property: for random per-key event-time streams (duplicates and
+    bursts included), gap sessionization + rollup equals an independent
+    Python reference — session count, boundaries, and per-session event
+    counts."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=6, deadline=None)
+    @given(st.lists(st.integers(min_value=0, max_value=3600),
+                    min_size=1, max_size=40))
+    def check(secs):
+        gap_s = 30
+        rows = [mk(i, s, key=1) for i, s in enumerate(sorted(secs))]
+        sess = _run(spark, rows, gap_ms=gap_s * 1000)
+        got = sorted(
+            (int(r.started_at.timestamp()), int(r.ended_at.timestamp()),
+             r.n_events)
+            for r in sess.collect()
+        )
+
+        # independent reference: split the sorted times on gap > 30 s
+        want = []
+        run = [sorted(secs)[0]]
+        for s in sorted(secs)[1:]:
+            if s - run[-1] > gap_s:
+                want.append(run)
+                run = [s]
+            else:
+                run.append(s)
+        want.append(run)
+        base = got[0][0] - want[0][0] if got else 0  # epoch offset of mk()
+        expect = sorted((r[0] + base, r[-1] + base, len(r)) for r in want)
+        assert got == expect, (secs, got, expect)
+
+    check()
