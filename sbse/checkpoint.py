@@ -144,11 +144,18 @@ def run_partitioned(
 
     spark = token_df.sparkSession
     staging = os.path.join(warehouse, "_staging", run_id)
-    (
-        labeled.filter(F.col("ck_part").isin([int(p) for p in todo]))
-        .write.mode("overwrite").partitionBy("ck_part").parquet(staging)
-    )
-    staged = spark.read.parquet(staging)
+    if any(fps.get(p, (0, 0))[0] > 0 for p in todo):
+        (
+            labeled.filter(F.col("ck_part").isin([int(p) for p in todo]))
+            .write.mode("overwrite").partitionBy("ck_part").parquet(staging)
+        )
+        staged = spark.read.parquet(staging)
+    else:
+        # Every todo partition is empty (e.g. an empty input table): the
+        # partitionBy write produces no files and reading the staging dir
+        # would fail with UNABLE_TO_INFER_SCHEMA — run the (empty) subsets
+        # straight off the labeled frame instead.
+        staged = labeled
 
     for p in todo:
         mpath = _manifest_path(warehouse, run_id, p)

@@ -116,8 +116,18 @@ def doc_fingerprint(docs: DataFrame, window: int = FP_WINDOW) -> DataFrame:
                     np.add.at(delta, bad_lo, 1)
                     np.add.at(delta, bad_hi, -1)
                     H[np.cumsum(delta[:-1]) > 0] = UMAX
-                    starts = np.minimum(offs[:-1], nwin - 1)
-                    fps = np.minimum.reduceat(H, starts)
+                    # reduceat segments only for docs that OWN windows
+                    # (len >= W): their starts are always < nwin, strictly
+                    # increasing, and each segment runs to the next long
+                    # doc's start — spanning only masked (UMAX) windows of
+                    # intervening short docs, harmless under min. Clipping
+                    # short docs' starts instead (the old code) could steal
+                    # the tail windows of the PRECEDING doc's segment.
+                    long_idx = np.nonzero(lens >= W)[0]
+                    if long_idx.size:
+                        fps[long_idx] = np.minimum.reduceat(
+                            H, offs[:-1][long_idx]
+                        )
                 for d in np.nonzero(lens < W)[0]:  # rare short-doc fallback
                     h = 0
                     for byte in bts[d]:

@@ -66,6 +66,14 @@ class _BitReader:
         64-bit branches that dominate decode (round-2 verdict note)."""
         pos = self.pos
         end = pos + bits
+        if end > len(self.data) * 8:
+            # A short slice would silently yield fewer bytes and the fixed
+            # (-end)%8 shift would then mis-align the field — corrupt or
+            # truncated blobs must fail loudly, not decode to garbage.
+            raise ValueError(
+                f"gorilla blob truncated: need bit {end}, "
+                f"blob has {len(self.data) * 8} bits"
+            )
         out = int.from_bytes(self.data[pos >> 3:(end + 7) >> 3], "big")
         out >>= (-end) % 8
         self.pos = end
@@ -251,14 +259,54 @@ def write_blob_tier(tier: DataFrame, path: str, value_col: str = "n_tok_sum",
     return catalog.write_partitioned(blobs, path, date_col="chunk_start")
 
 
+def _chunk_floor(date_str: str, chunk_unit: str | None) -> str:
+    """Largest possible chunk-START date at-or-before ``date_str`` for a
+    chunk of ``chunk_unit`` — i.e. date_trunc(chunk_unit, date). Sub-day
+    units (hour/minute) never cross a date boundary, so day grain covers
+    them."""
+    import datetime as dt
+
+    d = dt.date.fromisoformat(date_str)
+    if chunk_unit == "month":
+        d = d.replace(day=1)
+    elif chunk_unit in ("year",):
+        d = d.replace(month=1, day=1)
+    elif chunk_unit == "quarter":
+        d = d.replace(month=((d.month - 1) // 3) * 3 + 1, day=1)
+    elif chunk_unit == "week":
+        d = d - dt.timedelta(days=d.weekday())
+    # day / hour / minute / None: the date itself is the floor
+    return d.isoformat()
+
+
 def read_blob_tier(spark, path: str, value_col: str = "n_tok_sum",
-                   start: str | None = None, end: str | None = None) -> DataFrame:
-    """Partition-pruned read + decode of a stored blob tier: only chunk
-    partitions inside [start, end] ('yyyy-MM-dd') are scanned or decoded."""
+                   start: str | None = None, end: str | None = None,
+                   chunk_unit: str = "month") -> DataFrame:
+    """Partition-pruned read + decode of a stored blob tier, with the range
+    semantics of the row-grain ``catalog.read_partitioned``: decoded points
+    whose bucket day lies in [start, end] ('yyyy-MM-dd', inclusive).
+
+    A chunk partition is labeled by its chunk START but covers a whole
+    ``chunk_unit`` period — pruning must be by range OVERLAP, not start
+    containment (a start of '2024-01-15' must still read the month chunk
+    labeled 2024-01-01; the reference's hypertable chunk exclusion is
+    overlap-based, 002_retention_policies.go:7-11). So the partition prune
+    widens ``start`` down to its chunk boundary, and decoded points are then
+    row-filtered to the exact requested day range. Pass the same
+    ``chunk_unit`` the tier was written with."""
     from sbse import catalog
 
-    blobs = catalog.read_partitioned(spark, path, start=start, end=end)
-    return decode_tier(blobs.drop("log_date"), value_col)
+    scan_start = _chunk_floor(start, chunk_unit) if start is not None else None
+    blobs = catalog.read_partitioned(spark, path, start=scan_start, end=end)
+    out = decode_tier(blobs.drop("log_date"), value_col)
+    if start is not None:
+        out = out.filter(F.col("bucket_start") >= F.to_timestamp(F.lit(start)))
+    if end is not None:
+        out = out.filter(
+            F.col("bucket_start")
+            < F.to_timestamp(F.date_add(F.to_date(F.lit(end)), 1))
+        )
+    return out
 
 
 def decode_tier(blobs: DataFrame, value_col: str = "n_tok_sum") -> DataFrame:

@@ -354,6 +354,11 @@ def test_doc_fingerprint_adversarial_bytes(spark):
         ("\xff" * 200),           # C3 BF pairs
         "za" * 50 + high * 8 + "az" * 50,  # mixed ascii/max-byte boundary
         BASE,
+        # r4 regression (hypothesis find): a long doc FOLLOWED by empty docs
+        # — the old reduceat start-clipping stole the long doc's tail
+        # windows when a short doc's offset exceeded the window count.
+        "000«\U00010ffb\U00011ffd𐰀", "", "",
+        "a" * FP_WINDOW, "", "b" * (FP_WINDOW + 5),  # short docs between long
     ]
     d = _docs(spark, adversarial)
     got = {r.doc_id: r.fingerprint for r in doc_fingerprint(d).collect()}
