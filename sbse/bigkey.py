@@ -1,0 +1,260 @@
+"""Monster-key (hot single-key) window handling — SURVEY §4.3 item 3.
+
+The plain ``locf_merge``/``sessionize`` windows partition by (source, key):
+one key with more events than an executor comfortably sorts pins a single
+task (Spark's external sort spills rather than OOMs, but the stage becomes
+one serial task — the reference has the same defect as unbounded per-key
+maps, cmd/tracker/main.go:51-53). These twins bound EVERY window partition
+to (source, key, time-chunk) and stitch chunk boundaries through a tiny
+per-chunk summary table — the segmented-scan decomposition:
+
+* ``locf_merge_chunked`` — chunk-local LOCF, then each chunk's final carry
+  state (one row per populated chunk) is prefix-LOCF'd over chunks and
+  joined back as the carry-in; event value = coalesce(local LOCF, carry-in,
+  zero). Identical output to ``locf_merge`` (equality-tested, incl. a
+  hypothesis property test).
+* ``sessionize_chunked`` — chunk-local gap sessionization, then the summary
+  window decides which chunk-opening sessions merge backward
+  (first_ts - prev chunk last_ts <= gap), assigns global session ordinals
+  via per-chunk new-session offsets, and recovers each merged chain's true
+  start with an anchored LOCF. Identical output to ``sessionize``.
+* ``session_rollup_agg`` — the groupBy twin of ``session_rollup``: pure
+  partial-aggregatable min_by/max_by/count/max on (source, key, sidx), so a
+  10M-event session reduces map-side to one row per input partition instead
+  of sorting in one task. Identical output (equality-tested).
+
+Scale shape: two shuffles per operator family (events hash to
+(source, key, chunk) for the bounded window; the summary join is an
+equi-join on the same keys against a table with one row per populated chunk
+— ~1e4-1e6x smaller than events). chunk_ms must exceed gap_ms so a session
+gap can only straddle ADJACENT populated chunks' boundary rows (the stitch
+condition itself uses real timestamps, so non-adjacent populated chunks
+merge correctly too — relevant only at chunk_ms == gap_ms + epsilon).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from sbse import GAP_MS_NORTH
+from sbse.sessionize import _MERGE_FIELDS, KEY_COLS, ord_col
+
+# 1 hour of events per window partition by default: at the reference's
+# per-key message rates (~1/s) that is ~3.6k rows; even a 1000x-hot key
+# stays executor-trivial per chunk.
+CHUNK_MS_DEFAULT = 3_600_000
+
+
+def _with_chunk(df: DataFrame, chunk_ms: int) -> DataFrame:
+    return df.withColumn(
+        "_chunk", F.floor(F.unix_millis("ts") / F.lit(chunk_ms))
+    )
+
+
+def locf_merge_chunked(states: DataFrame,
+                       chunk_ms: int = CHUNK_MS_DEFAULT) -> DataFrame:
+    """W1 twin with bounded window partitions; output == ``locf_merge``.
+
+    Phase 1 (bounded window): running LOCF of each field within
+    (source, key, chunk). Phase 2 (summary): each chunk's FINAL carry value
+    per field (max_by over arrival order — partial-aggregatable groupBy),
+    prefix-LOCF'd across the key's chunks, shifted one chunk back = the
+    carry-in. Phase 3: join carry-ins back; merged = coalesce(local, carry,
+    zero)."""
+    e = _with_chunk(states, chunk_ms)
+    wc = Window.partitionBy(*KEY_COLS, "_chunk").orderBy("ts", "seq")
+    wcr = wc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    for c, zero in _MERGE_FIELDS:
+        e = e.withColumn(
+            f"_loc_{c}",
+            F.last(F.nullif(F.col(c), F.lit(zero)), ignorenulls=True).over(wcr),
+        )
+    e = e.withColumn("_ord", ord_col())
+    summ = e.groupBy(*KEY_COLS, "_chunk").agg(
+        *[
+            F.expr(f"max_by(_loc_{c}, _ord)").alias(f"_fin_{c}")
+            for c, _ in _MERGE_FIELDS
+        ]
+    )
+    ws = Window.partitionBy(*KEY_COLS).orderBy("_chunk")
+    w_prev = ws.rowsBetween(Window.unboundedPreceding, -1)
+    carry = summ.select(
+        *KEY_COLS,
+        "_chunk",
+        *[
+            F.last(f"_fin_{c}", ignorenulls=True).over(w_prev).alias(f"_carry_{c}")
+            for c, _ in _MERGE_FIELDS
+        ],
+    )
+    out = e.join(carry, [*KEY_COLS, "_chunk"])
+    for c, zero in _MERGE_FIELDS:
+        out = out.withColumn(
+            f"{c}_m",
+            F.coalesce(F.col(f"_loc_{c}"), F.col(f"_carry_{c}"), F.lit(zero)),
+        )
+    drop = (["_ord", "_chunk"] + [f"_loc_{c}" for c, _ in _MERGE_FIELDS]
+            + [f"_carry_{c}" for c, _ in _MERGE_FIELDS])
+    return out.drop(*drop)
+
+
+def sessionize_chunked(
+    merged: DataFrame,
+    gap_ms: int = GAP_MS_NORTH,
+    chunk_ms: int = CHUNK_MS_DEFAULT,
+    close_trailing: bool = True,
+) -> DataFrame:
+    """W2/W3 twin with bounded window partitions; output == ``sessionize``
+    (same columns: new_sess, sidx, s_start, session_id, is_trailing,
+    close_trailing).
+
+    Stitch math per chunk c (summary window over the key's chunks):
+      merge_c       = first_ts(c) - last_ts(prev chunk) <= gap
+      new_sessions  = n_local(c) - merge_c
+      offset O_c    = cumulative new_sessions of prior chunks
+      global sidx   = O_c + local_sidx - merge_c     (merged chains share
+                      the previous chunk's last global ordinal)
+      chain start T = anchored LOCF: a chunk that is ONE session merging
+                      backward contributes no anchor, so T carries the
+                      chain's true start forward across any chain length.
+    """
+    if chunk_ms <= gap_ms:
+        raise ValueError(
+            f"chunk_ms={chunk_ms} must exceed gap_ms={gap_ms}: a chunk "
+            f"shorter than the gap cannot bound the stitch to boundaries"
+        )
+    df = _with_chunk(merged, chunk_ms)
+    wc = Window.partitionBy(*KEY_COLS, "_chunk").orderBy("ts", "seq")
+    wcr = wc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev_ms = F.lag(F.unix_millis("ts")).over(wc)
+    lnew = F.when(
+        prev_ms.isNull() | (F.unix_millis("ts") - prev_ms > F.lit(gap_ms)),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    df = df.withColumn("_lnew", lnew)
+    df = df.withColumn("_lsidx", F.sum("_lnew").over(wcr))
+    df = df.withColumn(
+        "_lstart",
+        F.last(F.when(F.col("_lnew") == 1, F.col("ts")), ignorenulls=True).over(wcr),
+    )
+    summ = df.groupBy(*KEY_COLS, "_chunk").agg(
+        F.min("ts").alias("_first_ts"),
+        F.max("ts").alias("_last_ts"),
+        F.max("_lsidx").alias("_nloc"),
+        F.expr("max_by(_lstart, struct(ts, seq))").alias("_last_lstart"),
+    )
+    ws = Window.partitionBy(*KEY_COLS).orderBy("_chunk")
+    wsr = ws.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev_last = F.lag(F.unix_millis("_last_ts")).over(ws)
+    merge_c = F.when(
+        prev_last.isNotNull()
+        & (F.unix_millis("_first_ts") - prev_last <= F.lit(gap_ms)),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    summ = summ.withColumn("_merge", merge_c)
+    summ = summ.withColumn("_news", F.col("_nloc") - F.col("_merge"))
+    summ = summ.withColumn("_off", F.sum("_news").over(wsr) - F.col("_news"))
+    anchor = F.when(
+        ~((F.col("_nloc") == 1) & (F.col("_merge") == 1)), F.col("_last_lstart")
+    )
+    summ = summ.withColumn("_T", F.last(anchor, ignorenulls=True).over(wsr))
+    summ = summ.withColumn("_prevT", F.lag("_T").over(ws))
+    summ = summ.withColumn(
+        "_gmax",
+        F.max(F.col("_off") + F.col("_news")).over(Window.partitionBy(*KEY_COLS)),
+    )
+    j = df.join(
+        summ.select(*KEY_COLS, "_chunk", "_merge", "_off", "_prevT", "_gmax"),
+        [*KEY_COLS, "_chunk"],
+    )
+    backmerged = (F.col("_lsidx") == 1) & (F.col("_merge") == 1)
+    j = j.withColumn(
+        "new_sess", F.when(F.col("_lnew") == 1,
+                           F.when(backmerged, 0).otherwise(1)).otherwise(0)
+    )
+    j = j.withColumn("sidx", F.col("_off") + F.col("_lsidx") - F.col("_merge"))
+    j = j.withColumn(
+        "s_start", F.when(backmerged, F.col("_prevT")).otherwise(F.col("_lstart"))
+    )
+    j = j.withColumn(
+        "session_id",
+        F.sha2(
+            F.concat_ws(
+                "|",
+                F.col("source"),
+                F.col("key").cast("string"),
+                F.unix_millis("s_start").cast("string"),
+                F.col("sidx").cast("string"),
+            ),
+            256,
+        ),
+    )
+    j = j.withColumn("is_trailing", F.col("sidx") == F.col("_gmax"))
+    j = j.withColumn("close_trailing", F.lit(close_trailing))
+    return j.drop("_chunk", "_lnew", "_lsidx", "_lstart", "_merge", "_off",
+                  "_prevT", "_gmax")
+
+
+def session_rollup_agg(sess_events: DataFrame) -> DataFrame:
+    """A1 twin of ``session_rollup`` as a pure groupBy — every aggregate is
+    partial-aggregatable (map-side combine), so a monster session reduces to
+    one row per input partition before the shuffle instead of sorting the
+    whole session in one window task. Output == ``session_rollup``."""
+    e = sess_events.withColumn("_ord", ord_col())
+    agg = e.groupBy("source", "key", "sidx").agg(
+        F.min("ts").alias("started_at"),
+        F.max("ts").alias("_last_ts"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.expr("max_by(callsign_m, _ord)").alias("callsign"),
+        F.expr("min_by(lat_m, _ord)").alias("first_lat"),
+        F.expr("min_by(lon_m, _ord)").alias("first_lon"),
+        F.expr("max_by(lat_m, _ord)").alias("last_lat"),
+        F.expr("max_by(lon_m, _ord)").alias("last_lon"),
+        F.max("altitude_m").alias("max_altitude"),
+        F.max("ground_speed_m").alias("max_ground_speed"),
+        F.any_value("is_trailing").alias("is_trailing"),
+        F.any_value("close_trailing").alias("close_trailing"),
+    )
+    return agg.select(
+        F.sha2(
+            F.concat_ws(
+                "|",
+                F.col("source"),
+                F.col("key").cast("string"),
+                F.unix_millis("started_at").cast("string"),
+                F.col("sidx").cast("string"),
+            ),
+            256,
+        ).alias("session_id"),
+        "source",
+        "key",
+        "started_at",
+        F.when(
+            F.col("is_trailing") & ~F.col("close_trailing"), F.lit(None)
+        ).otherwise(F.col("_last_ts")).alias("ended_at"),
+        "n_events",
+        "callsign",
+        "first_lat",
+        "first_lon",
+        "last_lat",
+        "last_lon",
+        "max_altitude",
+        "max_ground_speed",
+        F.bround("max_ground_speed").cast("bigint").alias("max_ground_speed_i"),
+        F.col("is_trailing").alias("is_open"),
+    )
+
+
+def monster_safe_sessions(
+    states: DataFrame,
+    gap_ms: int = GAP_MS_NORTH,
+    chunk_ms: int = CHUNK_MS_DEFAULT,
+    close_trailing: bool = True,
+) -> DataFrame:
+    """The full monster-key-safe chain: chunked LOCF -> chunked sessionize
+    -> groupBy rollup. Output == session_rollup(sessionize(locf_merge(.)))
+    — oracle-checked as q34."""
+    m = locf_merge_chunked(states, chunk_ms)
+    s = sessionize_chunked(m, gap_ms=gap_ms, chunk_ms=chunk_ms,
+                           close_trailing=close_trailing)
+    return session_rollup_agg(s)

@@ -149,6 +149,9 @@ SELECT source, key, max(ts) AS last_ts,
 FROM m GROUP BY source, key"""
 
     q["q04_sessions_gap30"] = p30 + _SESSION_SELECT.format(ended_at="max(ts)")
+    # q34 is the monster-key-safe chunked engine path; its contract is exact
+    # equality with the plain window path, so its oracle IS q04's SQL.
+    q["q34_sessions_bigkey"] = q["q04_sessions_gap30"]
     q["q05_sessions_gap300"] = p300 + _SESSION_SELECT.format(ended_at="max(ts)")
 
     q["q06_rollup_1m"] = p30 + _ROLLUP_FROM_STATES.format(unit="minute")

@@ -446,6 +446,19 @@ def q30_simhash_candidates(spark, sf_dir):
                                  max_hamming=7, n_bands=8)
 
 
+def q34_sessions_bigkey(spark, sf_dir):
+    """The monster-key-safe session chain (chunked LOCF -> chunked
+    sessionize -> groupBy rollup, sbse.bigkey): every window partition is
+    bounded by (source, key, 2-minute chunk) and sessions are stitched
+    across chunk boundaries through the per-chunk summary. Must equal q04
+    exactly — the oracle IS q04's SQL."""
+    from sbse.bigkey import monster_safe_sessions
+
+    return monster_safe_sessions(
+        states_only(_decoded(spark, sf_dir)), gap_ms=30_000, chunk_ms=120_000
+    )
+
+
 def all_queries():
     return {
         "q01_decode": q01_decode,
@@ -481,4 +494,5 @@ def all_queries():
         "q31_ann_ivf": q31_ann_ivf,
         "q32_frame_sample": q32_frame_sample,
         "q33_rollup_quantiles": q33_rollup_quantiles,
+        "q34_sessions_bigkey": q34_sessions_bigkey,
     }
