@@ -275,6 +275,25 @@ SELECT source, bucket_start, count(*) AS cnt,
   max(CASE WHEN rn = (19 * (cnt - 1)) // 20 + 1 THEN n_tok END) AS ntok_p95
 FROM r GROUP BY source, bucket_start"""
 
+    # q35: the engine cascades mergeable value-frequency sketches 1m -> 1h;
+    # the oracle computes the same per-(source, key, hour) quantiles
+    # straight from states with q33's integer rank math — equality proves
+    # the sketch cascade is lossless.
+    q["q35_quantile_cascade"] = f"""{p30},
+base AS (
+  SELECT source, key, date_trunc('hour', ts) AS bucket_start, n_tok FROM st
+),
+r AS (
+  SELECT *,
+    row_number() OVER (PARTITION BY source, key, bucket_start ORDER BY n_tok) AS rn,
+    count(*) OVER (PARTITION BY source, key, bucket_start) AS cnt
+  FROM base
+)
+SELECT source, key, bucket_start, count(*) AS cnt,
+  max(CASE WHEN rn = (cnt - 1) // 2 + 1 THEN n_tok END) AS ntok_p50,
+  max(CASE WHEN rn = (19 * (cnt - 1)) // 20 + 1 THEN n_tok END) AS ntok_p95
+FROM r GROUP BY source, key, bucket_start"""
+
     q.update(_datapipe_oracles())
     return q
 

@@ -446,6 +446,18 @@ def q30_simhash_candidates(spark, sf_dir):
                                  max_hamming=7, n_bands=8)
 
 
+def q35_quantile_cascade(spark, sf_dir):
+    """Per-(source, key, hour) exact p50/p95 computed THROUGH the mergeable
+    sketch cascade: 1m value-frequency sketches merged up to 1h (never
+    recomputed from states — the continuous-aggregate refresh shape), then
+    value-at-rank extraction. The oracle computes the same quantiles
+    straight from states; equality proves the sketch cascade is lossless."""
+    from sbse.rollup import bucket_rollup_q, cascade_q, tier_quantiles
+
+    st = states_only(_decoded(spark, sf_dir))
+    return tier_quantiles(cascade_q(bucket_rollup_q(st, "minute"), "hour"))
+
+
 def q34_sessions_bigkey(spark, sf_dir):
     """The monster-key-safe session chain (chunked LOCF -> chunked
     sessionize -> groupBy rollup, sbse.bigkey): every window partition is
@@ -495,4 +507,5 @@ def all_queries():
         "q32_frame_sample": q32_frame_sample,
         "q33_rollup_quantiles": q33_rollup_quantiles,
         "q34_sessions_bigkey": q34_sessions_bigkey,
+        "q35_quantile_cascade": q35_quantile_cascade,
     }

@@ -119,3 +119,101 @@ def tier_tables(states: DataFrame) -> dict[str, DataFrame]:
     r1h = cascade(r1m, "hour")
     r1d = cascade(r1h, "day")
     return {"1m": r1m, "1h": r1h, "1d": r1d}
+
+
+# ---------------------------------------------------------------------------
+# Quantile tiers: EXACT mergeable value-frequency sketches through the
+# cascade (q33's scale twin wired into the continuous-aggregate shape,
+# 002_retention_policies.go:13-37)
+# ---------------------------------------------------------------------------
+#
+# The sketch is a per-bucket map<n_tok, count> — exact and mergeable (merge
+# = entrywise sum), which percentile_approx's internal state is NOT exposed
+# as in SQL. It is the right 100 TB structure for BOUNDED-DOMAIN values
+# like token counts (map size = distinct n_tok per bucket, <= the model's
+# max sequence length — a few thousand entries, ~1e2-1e4x smaller than the
+# raw rows it summarizes). For genuinely unbounded continuous domains the
+# one-pass percentile_approx twin applies instead (pinned within 1
+# rank-percentile of this exact path in test_rollup_tiers).
+#
+# All pure Catalyst: two partial-aggregatable groupBys build the sketch,
+# explode+sum+rebuild merges it, and extraction is an explode + running-sum
+# window + min(when(cum >= rank)) — value-at-rank, bit-portable (the same
+# integer rank math as q33; float interpolation is not cross-engine-stable).
+
+_QKEYS = ("source", "key", "bucket_start")
+
+
+def _freq_map(per_value: DataFrame) -> DataFrame:
+    """(keys, v, c) -> (keys, ntok_freq sorted-entry map)."""
+    return per_value.groupBy(*_QKEYS).agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("v", "c")))
+        ).alias("ntok_freq")
+    )
+
+
+def bucket_rollup_q(states: DataFrame, unit: str = "minute") -> DataFrame:
+    """Quantile-bearing tier straight from states: per (source, key,
+    bucket) the exact n_tok value-frequency sketch."""
+    per_v = (
+        states.select(
+            "source", "key",
+            F.date_trunc(unit, F.col("ts")).alias("bucket_start"),
+            F.col("n_tok").alias("v"),
+        )
+        .groupBy(*_QKEYS, "v")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return _freq_map(per_v)
+
+
+def cascade_q(tier_q: DataFrame, unit: str) -> DataFrame:
+    """Merge a finer quantile tier into a coarser one: explode the maps,
+    sum counts per value, rebuild — cascade_q(bucket_rollup_q(raw, fine))
+    == bucket_rollup_q(raw, coarse) (the sketch cascade invariant,
+    asserted in test_rollup_tiers)."""
+    per_v = (
+        tier_q.select(
+            "source", "key",
+            F.date_trunc(unit, F.col("bucket_start")).alias("bucket_start"),
+            F.explode("ntok_freq").alias("v", "c"),
+        )
+        .groupBy(*_QKEYS, "v")
+        .agg(F.sum("c").alias("c"))
+    )
+    return _freq_map(per_v)
+
+
+def tier_quantiles(tier_q: DataFrame) -> DataFrame:
+    """Extract exact p50/p95 (value-at-rank, q33's integer rank math) from
+    a quantile tier's sketches."""
+    e = tier_q.select(
+        *_QKEYS, F.explode("ntok_freq").alias("v", "c")
+    )
+    w = (
+        Window.partitionBy(*_QKEYS)
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wa = Window.partitionBy(*_QKEYS)
+    e = (
+        e.withColumn("cum", F.sum("c").over(w))
+        .withColumn("cnt", F.sum("c").over(wa))
+    )
+    p50_rank = F.expr("(cnt - 1) DIV 2 + 1")
+    p95_rank = F.expr("(19 * (cnt - 1)) DIV 20 + 1")
+    return e.groupBy(*_QKEYS).agg(
+        F.max("cnt").alias("cnt"),
+        F.min(F.when(F.col("cum") >= p50_rank, F.col("v"))).alias("ntok_p50"),
+        F.min(F.when(F.col("cum") >= p95_rank, F.col("v"))).alias("ntok_p95"),
+    )
+
+
+def quantile_tier_tables(states: DataFrame) -> dict[str, DataFrame]:
+    """The quantile-sketch cascade alongside tier_tables: 1m from raw, 1h
+    and 1d by sketch MERGE (never recomputed from states)."""
+    q1m = bucket_rollup_q(states, "minute")
+    q1h = cascade_q(q1m, "hour")
+    q1d = cascade_q(q1h, "day")
+    return {"1m": q1m, "1h": q1h, "1d": q1d}

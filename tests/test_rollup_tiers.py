@@ -104,6 +104,51 @@ def test_expire_partitions(tmp_path, spark):
     assert sorted(p.name for p in base.iterdir()) == ["log_date=2023-02-01"]
 
 
+import pytest
+
+
+@pytest.mark.parametrize("sf", ["/root/testdata/sf0.01", "/root/testdata/sf0.1"])
+def test_quantile_sketch_cascade_lossless(spark, sf):
+    """The mergeable value-frequency sketch cascade (1m -> 1h -> 1d, merge
+    only — never recomputed from states) extracts quantiles EQUAL to the
+    direct-from-states rank path at both sf0.01 and sf0.1 (error 0, well
+    inside the <=1-rank-percentile acceptance): the sketch is exact and its
+    merge is lossless, which is what lets 1h/1d tiers carry p50/p95 in the
+    continuous-aggregate refresh shape without touching raw."""
+    from sbse.queries import _decoded
+    from sbse.rollup import (bucket_rollup_q, cascade_q, quantile_tier_tables,
+                             tier_quantiles)
+    from sbse.sessionize import states_only
+
+    st = states_only(_decoded(spark, sf)).localCheckpoint(eager=False)
+    tiers = quantile_tier_tables(st)
+    for unit, tier in (("hour", tiers["1h"]), ("day", tiers["1d"])):
+        via_cascade = tier_quantiles(tier)
+        direct = tier_quantiles(bucket_rollup_q(st, unit))
+        cols = sorted(via_cascade.columns)
+        assert sorted(direct.columns) == cols
+        diff = (via_cascade.select(cols).exceptAll(direct.select(cols)).count()
+                + direct.select(cols).exceptAll(via_cascade.select(cols)).count())
+        assert diff == 0, (sf, unit)
+
+
+def test_quantile_sketch_bounded_size(spark):
+    """Sketch size honesty: the per-bucket map cardinality is bounded by
+    the n_tok domain, not by row count — the property that makes the exact
+    sketch the right 100 TB structure for token lengths."""
+    from pyspark.sql import functions as F
+
+    from sbse.queries import _decoded
+    from sbse.rollup import bucket_rollup_q, cascade_q
+    from sbse.sessionize import states_only
+
+    st = states_only(_decoded(spark, "/root/testdata/sf0.01"))
+    dom = st.select("n_tok").distinct().count()
+    q1d = cascade_q(bucket_rollup_q(st, "minute"), "day")
+    max_size = q1d.select(F.max(F.size("ntok_freq"))).collect()[0][0]
+    assert max_size <= dom
+
+
 def test_quantile_scale_twin_accuracy(spark):
     """q33's exact rank-selection quantiles double as the accuracy oracle
     for the 100 TB scale twin (percentile_approx: one-pass mergeable
