@@ -140,3 +140,113 @@ def test_stateful_sessions_batch_boundary_merge(spark, tmp_path):
         "2024-01-01 00:00:00", "2024-01-01 00:00:20", 3, 200)
     assert (str(second.started_at), second.n_events) == (
         "2024-01-01 00:10:00", 1)
+
+
+def _write_files(spark, src_dir, chunks, start=0):
+    import os as _os
+
+    for i, chunk in enumerate(chunks, start=start):
+        df = spark.createDataFrame(
+            chunk, "source string, key bigint, ts string, seq bigint, "
+                   "altitude_m int"
+        ).select("source", "key", F.to_timestamp("ts").alias("ts"), "seq",
+                 "altitude_m")
+        p = str(src_dir / f"f{i:02d}")
+        df.coalesce(1).write.parquet(p)
+        for root, _, files in _os.walk(p):
+            for f in files:
+                _os.utime(_os.path.join(root, f),
+                          (1_700_000_000 + i, 1_700_000_000 + i))
+
+
+def _drain(spark, src_dir, ckpt, outdir, gap_ms=30_000):
+    """availableNow drain to a parquet sink (memory sink cannot recover
+    from a checkpoint; the file sink is the restartable surface). Returns
+    ALL rows accumulated in the sink so far."""
+    from sbse.streaming.stateful import OUT_SCHEMA, stateful_sessions
+
+    stream = (
+        spark.readStream.schema(STATE_DDL)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src_dir))
+    )
+    q = (
+        stateful_sessions(stream, gap_ms=gap_ms)
+        .writeStream.format("parquet")
+        .option("path", str(outdir))
+        .option("checkpointLocation", str(ckpt))
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    return {
+        (r.session_id, r.source, r.key, str(r.started_at), str(r.ended_at),
+         r.n_events, r.max_altitude)
+        for r in spark.read.schema(OUT_SCHEMA).parquet(str(outdir)).collect()
+    }
+
+
+def test_boundary_storm_multi_batch_straddle_with_ttl_interleaving(
+        spark, tmp_path):
+    """The round-3 verdict's boundary storm (next-round item 7): one key's
+    session straddles FOUR microbatches while a quiet key's session is
+    closed by the event-time TTL timeout MID-STREAM (other keys' traffic
+    advances the watermark past its last_seen + gap), a third key splits on
+    an in-data gap across batches — then a checkpoint RESTART drains the
+    rest. The union of both drains must equal the batch engine exactly."""
+    from sbse.sessionize import sessionize
+
+    def sec(s):
+        return f"2024-01-01 00:{s // 60:02d}:{s % 60:02d}"
+
+    # key 1 "straddler": one session 0..140 s spread over f0..f3 (inter-file
+    # gaps of 20 s <= 30 s); key 2 "quiet": f0 only — no successor row ever,
+    # so its emission can ONLY come from hasTimedOut; key 3: f1 + a 200 s
+    # row in f2 (in-data gap closes its first session on arrival).
+    A = [[("s0", 1, sec(b * 40 + o), b * 10 + o, 100 + b) for o in (0, 10, 20)]
+         for b in range(4)]
+    f0 = A[0] + [("s0", 2, sec(0), 900, 7), ("s0", 2, sec(5), 901, 9)]
+    f1 = A[1] + [("s0", 3, sec(40), 910, 1), ("s0", 3, sec(45), 911, 2)]
+    f2 = A[2] + [("s0", 3, sec(200), 912, 3)]
+    f3 = A[3]
+    src_dir = tmp_path / "storm"
+    src_dir.mkdir()
+    _write_files(spark, src_dir, [f0, f1, f2, f3])
+
+    ckpt = tmp_path / "ckpt"
+    outdir = tmp_path / "storm_out"
+    got1 = _drain(spark, src_dir, ckpt, outdir)
+    # mid-stream: the quiet key (2) was TTL-closed by watermark advance and
+    # key 3's first session closed on arrival — the straddler must still be
+    # OPEN (held in state across all four batches).
+    assert {(g[2], g[3]) for g in got1} == {
+        (2, "2024-01-01 00:00:00"), (3, "2024-01-01 00:00:40")}
+
+    # restart from checkpoint with a sentinel file: key 1 closes by gap on
+    # arrival, key 3's trailing session by TTL (sentinel watermark push).
+    _write_files(spark, src_dir, [[("s0", 1, SENTINEL_TS, 999, 0)]], start=4)
+    got2 = _drain(spark, src_dir, ckpt, outdir)
+    got = {g for g in got1 | got2 if g[3] != SENTINEL_TS}
+
+    events = [r for chunk in (f0, f1, f2, f3) for r in chunk]
+    batch_df = spark.createDataFrame(
+        events, "source string, key bigint, ts string, seq bigint, "
+                "altitude_m int"
+    ).select("source", "key", F.to_timestamp("ts").alias("ts"), "seq",
+             F.col("altitude_m").cast("int"))
+    batch = (
+        sessionize(batch_df, gap_ms=30_000, close_trailing=True)
+        .groupBy("session_id", "source", "key")
+        .agg(F.min("ts").alias("started_at"), F.max("ts").alias("ended_at"),
+             F.count(F.lit(1)).alias("n_events"),
+             F.max("altitude_m").cast("bigint").alias("max_altitude"))
+    )
+    want = {
+        (r.session_id, r.source, r.key, str(r.started_at), str(r.ended_at),
+         r.n_events, r.max_altitude)
+        for r in batch.collect()
+    }
+    assert got == want
+    # the straddler really is one 12-event session spanning all four files
+    a_sessions = [g for g in got if g[2] == 1]
+    assert len(a_sessions) == 1 and a_sessions[0][5] == 12
