@@ -109,9 +109,14 @@ def main() -> None:
     docs = spark.read.parquet(corpus_path)
 
     # --- simhash + banded candidates (scale config: radius 3, 16-bit bands)
+    dd.simhash64(docs.limit(5000), mode="arrow").count()  # worker warm-up
     sims = dd.simhash64(docs, mode="arrow")
     timed("simhash64_arrow", lambda: sims.count())
+    # materialize the checkpointed frame FIRST so the candidates stage times
+    # the banding join itself, not a second simhash pass hidden inside the
+    # lazy checkpoint
     sims_m = dd.simhash64(docs, mode="arrow").localCheckpoint(eager=False)
+    timed("simhash_materialize", lambda: sims_m.count())
     n_cand = timed(
         "simhash_candidates_h3_b4",
         lambda: dd.simhash_candidates(sims_m, max_hamming=3, n_bands=4).count(),

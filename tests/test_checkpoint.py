@@ -179,3 +179,27 @@ def test_partition_labels_content_stable(spark):
     b = {r.doc_id: r.ck_part
          for r in checkpoint_partition(tok.repartition(11), 8).collect()}
     assert a == b
+
+
+def test_cold_run_on_empty_input(spark, tmp_path):
+    """ADVICE r3 (low): a cold run whose todo partitions are all EMPTY
+    (e.g. an empty input table) must complete — writing empty outputs and
+    manifests — not crash reading an empty staging dir."""
+    from sbse.checkpoint import run_partitioned
+
+    empty = spark.createDataFrame(
+        [], "doc_id string, tokens array<int>, n_tok int, source string"
+    )
+    wh = str(tmp_path / "wh_empty")
+    summary = run_partitioned(
+        empty, lambda df: {"echo": df}, wh, run_id="r0", n_parts=3
+    )
+    assert summary == {0: "computed", 1: "computed", 2: "computed"}
+    import os
+
+    assert len(os.listdir(os.path.join(wh, "_manifests", "r0"))) == 3
+    # resume skips everything
+    again = run_partitioned(
+        empty, lambda df: {"echo": df}, wh, run_id="r0", n_parts=3
+    )
+    assert again == {0: "skipped", 1: "skipped", 2: "skipped"}

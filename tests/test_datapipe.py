@@ -439,3 +439,19 @@ def test_multimodal_resize_and_frames(spark):
     assert all(r.n_frames_total == 5 for r in f0)
     assert all(len(bytes(r.frame)) == 100 for r in f0)
     assert bytes(f0[1].frame) == long_doc.encode()[200:300]
+
+
+def test_simhash_null_text_both_twins(spark):
+    """ADVICE r3 (low): NULL-text docs must be DROPPED identically by both
+    simhash twins (the arrow twin used to crash on None.split while the
+    expr twin silently dropped them)."""
+    from sbse.datapipe.dedup import simhash64
+
+    d = spark.createDataFrame(
+        [(0, BASE, "en", "s"), (1, None, "en", "s"), (2, OTHER, "en", "s")],
+        "doc_id bigint, text string, lang string, source string",
+    )
+    got_a = {r.doc_id: r.simhash for r in simhash64(d, mode="arrow").collect()}
+    got_e = {r.doc_id: r.simhash for r in simhash64(d, mode="expr").collect()}
+    assert got_a == got_e
+    assert set(got_a) == {0, 2}

@@ -194,3 +194,52 @@ def test_blob_tier_catalog_lifecycle(spark, tmp_path):
         for r in back.collect()
     )
     assert got == want
+
+
+def test_read_blob_tier_mid_period_range(spark, tmp_path):
+    """ADVICE r3 (medium): a chunk is labeled by its START but covers the
+    whole chunk_unit period — a mid-period start must still read the chunk
+    it falls inside (overlap pruning, not start containment), and a
+    mid-period end must not return rows past the requested day range.
+    Old behavior: start='2024-01-15' dropped ALL of Jan 15-31 (the Jan
+    chunk was pruned away) and end='2024-02-10' returned the full Feb."""
+    from pyspark.sql import functions as F
+
+    from sbse.gorilla import read_blob_tier, write_blob_tier
+
+    tier = spark.range(24 * 90).select(
+        F.lit("s0").alias("source"),
+        F.lit(1).cast("bigint").alias("key"),
+        F.timestamp_millis(
+            F.lit(1704067200000) + F.col("id") * 3_600_000  # 2024-01-01 UTC
+        ).alias("bucket_start"),
+        (F.col("id") % 11).cast("double").alias("n_tok_sum"),
+    )
+    path = str(tmp_path / "blob_mid")
+    write_blob_tier(tier, path, "n_tok_sum", chunk_unit="month")
+    back = read_blob_tier(spark, path, "n_tok_sum",
+                          start="2024-01-15", end="2024-02-10",
+                          chunk_unit="month")
+    got = back.agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.min("bucket_start").cast("string").alias("lo"),
+        F.max("bucket_start").cast("string").alias("hi"),
+    ).collect()[0]
+    # inclusive day range: Jan 15 00:00 .. Feb 10 23:00 = (17 + 10) * 24 h
+    assert got["cnt"] == 27 * 24
+    assert got["lo"] == "2024-01-15 00:00:00"
+    assert got["hi"] == "2024-02-10 23:00:00"
+
+
+def test_truncated_blob_raises():
+    """ADVICE r3 (low): the byte-sliced BitReader must fail loudly on a
+    truncated blob instead of mis-aligning and decoding garbage."""
+    import pytest
+
+    from sbse.gorilla import decode_points, encode_points
+
+    blob = encode_points([1000, 2000, 3100, 4300], [1.0, 2.5, 2.5, -7.25])
+    assert decode_points(blob)[0] == [1000, 2000, 3100, 4300]
+    for cut in (1, 5, len(blob) - 1):
+        with pytest.raises(ValueError, match="truncated"):
+            decode_points(blob[:cut])
