@@ -52,6 +52,70 @@ def _dot(a, b):
     )
 
 
+def _grouped_pair_scores(rows: DataFrame, keys: list[str],
+                         symmetric: bool = False) -> DataFrame:
+    """Per-group pair scoring WITHOUT the array-duplicating pair join: one
+    ``applyInPandas`` per group ships every vector ONCE (not once per
+    candidate pair) and scores all (query, neighbor) pairs with a strict
+    left-to-right column accumulation — 64 vectorized adds in ascending
+    dimension order, BIT-IDENTICAL to the ``F.aggregate`` fold and hence to
+    the DuckDB oracle's ordered list_sum (asserted in test_datapipe).
+
+    Round-4 measurement note: three per-pair scorers were tried on 500k
+    candidates — interpreted fold 3.2s, unrolled 64-term expression 7.0s
+    (falls out of codegen), per-pair Arrow numpy 9.1s (array transfer
+    dominates). The group-shaped scorer wins by changing the data movement,
+    not the arithmetic: arrays cross to Python once per group member, the
+    pair matrix lives only as numpy scratch (O(|q|x|h|) doubles, bounded by
+    the banding/cell caps), and only (q_id, vec_id, cos) rows come back.
+
+    ``rows``: (keys..., role, vec_id, embedding, nrm); role 0 = candidate
+    neighbor ("home"), role 1 = query. ``symmetric=True`` treats every row
+    as both (LSH buckets). Self-pairs are dropped."""
+
+    def score(pdf):
+        import numpy as np
+        import pandas as pd
+
+        empty = pd.DataFrame({"q_id": pd.Series([], dtype="int64"),
+                              "vec_id": pd.Series([], dtype="int64"),
+                              "cos": pd.Series([], dtype="float64")})
+        if symmetric:
+            q = h = pdf
+        else:
+            h = pdf[pdf["role"] == 0]
+            q = pdf[pdf["role"] == 1]
+        if len(h) == 0 or len(q) == 0:
+            return empty
+        A = np.stack(q["embedding"].to_numpy()).astype(np.float64)
+        B = np.stack(h["embedding"].to_numpy()).astype(np.float64)
+        acc = np.zeros((len(q), len(h)))
+        for j in range(A.shape[1]):  # ascending dims: the fold's order
+            acc = acc + np.multiply.outer(A[:, j], B[:, j])
+        den = np.multiply.outer(q["nrm"].to_numpy(), h["nrm"].to_numpy())
+        cos = acc / den
+        qi = np.repeat(q["vec_id"].to_numpy(), len(h))
+        vi = np.tile(h["vec_id"].to_numpy(), len(q))
+        keep = qi != vi
+        return pd.DataFrame(
+            {"q_id": qi[keep], "vec_id": vi[keep], "cos": cos.ravel()[keep]}
+        )
+
+    return rows.groupBy(*keys).applyInPandas(
+        score, "q_id bigint, vec_id bigint, cos double"
+    )
+
+
+def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", F.col("vec_id").alias("neighbor_id"),
+                F.col("rank").cast("int").alias("rank"))
+    )
+
+
 def plane_signs(n_planes: int, dim: int) -> list[list[int]]:
     """±1 hyperplane components from md5 parity — pure Python, shared with
     the DuckDB oracle generator so both engines use identical planes."""
@@ -245,43 +309,6 @@ def _np_cos_prefilter():
     return np_cos
 
 
-def _exact_topk_two_tier(pairs: DataFrame, k: int) -> DataFrame:
-    """Two-tier EXACT top-k ranking — the ``cosine_neardup_pairs`` prefilter
-    pattern applied to ranking. Input: candidate pairs with columns
-    (q_id, vec_id, q_e, q_n, embedding, nrm).
-
-    Tier 1: a vectorized numpy cosine scores ALL candidates (Arrow batch,
-    ~100x cheaper than the interpreted fold); a per-query window keeps only
-    candidates whose approximate score reaches the k-th best minus 1e-9
-    slack. Tier 2: the authoritative ordered fold (bit-identical to the
-    DuckDB oracle) runs on the survivors only (~k+eps per query) and decides
-    the final rank. Correct because |np_cos - fold_cos| is ~1e-13 for 64-d
-    unit-scale vectors, far inside the 1e-9 slack — every true top-k pair
-    survives tier 1."""
-    np_cos = _np_cos_prefilter()
-    scored = pairs.withColumn("_npc", np_cos(F.col("q_e"), F.col("embedding")))
-    w_rn = Window.partitionBy("q_id").orderBy(F.desc("_npc"), F.asc("vec_id"))
-    w_all = Window.partitionBy("q_id")
-    scored = (
-        scored.withColumn("_nrn", F.row_number().over(w_rn))
-        .withColumn(
-            "_kth", F.max(F.when(F.col("_nrn") == k, F.col("_npc"))).over(w_all)
-        )
-    )
-    surv = scored.filter(
-        F.col("_kth").isNull() | (F.col("_npc") >= F.col("_kth") - 1e-9)
-    )
-    cos = _dot(F.col("q_e"), F.col("embedding")) / (F.col("q_n") * F.col("nrm"))
-    out = surv.select("q_id", "vec_id", cos.alias("cos"))
-    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("vec_id"))
-    return (
-        out.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("q_id", F.col("vec_id").alias("neighbor_id"),
-                F.col("rank").cast("int").alias("rank"))
-    )
-
-
 def cosine_neardup_pairs(
     embs: DataFrame, threshold: float = 0.999, n_cells: int = 32
 ) -> DataFrame:
@@ -392,40 +419,27 @@ def ann_topk_ivf(embs: DataFrame, k: int = 5, n_cells: int = 16,
         (F.row_number().over(wc) - 1).alias("cell"),
         F.col("embedding").alias("c_e"), F.col("nrm").alias("c_n"),
     )
-    # Assignment, two-tier (same prefilter pattern as the candidate stage):
-    # the numpy cosine ranks all N x C (vector, centroid) rows; only rows
-    # tying the nprobe-th best within 1e-9 survive to the authoritative
-    # interpreted fold — the fold runs on ~nprobe rows per vector, not C.
-    np_cos = _np_cos_prefilter()
-    pairs = n.crossJoin(F.broadcast(cents)).withColumn(
-        "_npc", np_cos(F.col("embedding"), F.col("c_e"))
-    )
-    w_nrn = Window.partitionBy("vec_id").orderBy(F.desc("_npc"), F.asc("cell"))
-    w_vec = Window.partitionBy("vec_id")
-    pre = (
-        pairs.withColumn("_nrn", F.row_number().over(w_nrn))
-        .withColumn(
-            "_kth",
-            F.max(F.when(F.col("_nrn") == nprobe, F.col("_npc"))).over(w_vec),
-        )
-        .filter(F.col("_kth").isNull() | (F.col("_npc") >= F.col("_kth") - 1e-9))
-    )
+    pairs = n.crossJoin(F.broadcast(cents))
     cellcos = _dot(F.col("embedding"), F.col("c_e")) / (F.col("nrm") * F.col("c_n"))
     wa = Window.partitionBy("vec_id").orderBy(F.desc("cellcos"), F.asc("cell"))
     asg = (
-        pre.select("vec_id", "embedding", "nrm", "cell", cellcos.alias("cellcos"))
+        pairs.select("vec_id", "embedding", "nrm", "cell", cellcos.alias("cellcos"))
         .withColumn("rn", F.row_number().over(wa))
         .filter(F.col("rn") <= nprobe)
         .localCheckpoint(eager=False)
     )
+    # Candidate scoring is GROUP-shaped (see _grouped_pair_scores): each
+    # cell's home vectors + probing queries meet in one applyInPandas group
+    # — no pair join ever duplicates the embedding arrays. A (q, v) pair
+    # appears in exactly one group (v is homed in one cell), so no dedupe.
     home = asg.filter(F.col("rn") == 1).select(
-        F.col("vec_id"), F.col("embedding"), F.col("nrm"), "cell"
+        "cell", F.lit(0).alias("role"), "vec_id", "embedding", "nrm"
     )
-    probe = asg.select(F.col("vec_id").alias("q_id"),
-                       F.col("embedding").alias("q_e"),
-                       F.col("nrm").alias("q_n"), "cell")
-    cand = probe.join(home, "cell").filter(F.col("q_id") != F.col("vec_id"))
-    return _exact_topk_two_tier(cand, k)
+    probe = asg.select(
+        "cell", F.lit(1).alias("role"), "vec_id", "embedding", "nrm"
+    )
+    scored = _grouped_pair_scores(home.unionByName(probe), ["cell"])
+    return _rank_topk(scored, k)
 
 
 def _band_bucket(e: str, signs_band: list[list[int]]):
@@ -475,21 +489,18 @@ def ann_topk_lsh(embs: DataFrame, k: int = 5, n_planes: int = 6,
     n = embs.select("vec_id", "embedding", _norm_col().alias("nrm"))
     for b in range(n_bands):
         n = n.withColumn(f"bucket{b}", _band_bucket("embedding", bands[b]))
-    n = n.localCheckpoint(eager=False)  # buckets computed once, reused 3×
+    n = n.localCheckpoint(eager=False)  # buckets computed once
     long = n.select(
-        "vec_id",
+        "vec_id", "embedding", "nrm",
         F.posexplode(F.array(*[F.col(f"bucket{b}") for b in range(n_bands)]))
         .alias("band_id", "bucket"),
     )
-    a = long.select(F.col("vec_id").alias("q_id"), "band_id", "bucket")
-    cand = (
-        a.join(long, ["band_id", "bucket"])
-        .filter(F.col("q_id") != F.col("vec_id"))
-        .select("q_id", "vec_id")
-        .distinct()
-    )
-    q = n.select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_e"),
-                 F.col("nrm").alias("q_n"))
-    nb = n.select("vec_id", "embedding", "nrm")
-    pairs = cand.join(q, "q_id").join(nb, "vec_id")
-    return _exact_topk_two_tier(pairs, k)
+    # Group-shaped scoring (see _grouped_pair_scores): every (band, bucket)
+    # population scores its own pair matrix in one applyInPandas group —
+    # the arrays ship once per bucket member, never once per pair. A pair
+    # sharing several bands is scored once per band with BIT-IDENTICAL cos
+    # (same ordered accumulation), so the cross-band dedupe is a plain
+    # groupBy min (any value is THE value).
+    scored = _grouped_pair_scores(long, ["band_id", "bucket"], symmetric=True)
+    dedup = scored.groupBy("q_id", "vec_id").agg(F.min("cos").alias("cos"))
+    return _rank_topk(dedup, k)

@@ -455,3 +455,39 @@ def test_simhash_null_text_both_twins(spark):
     got_e = {r.doc_id: r.simhash for r in simhash64(d, mode="expr").collect()}
     assert got_a == got_e
     assert set(got_a) == {0, 2}
+
+
+def test_grouped_scorer_bit_equal_to_fold(spark):
+    """The group-shaped cosine scorer (ordered column accumulation in
+    numpy) must be BIT-equal to the ordered fold (the oracle's list_sum
+    order) on every pair — no tolerance."""
+    import random
+    import struct as st
+
+    from sbse.datapipe.similarity import (_dot, _grouped_pair_scores,
+                                          _norm_col)
+
+    rng = random.Random(42)
+    rows = [
+        (i, [rng.uniform(-2, 2) for _ in range(64)], i % 3)
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>, g int")
+    n = df.select("vec_id", "embedding", "g", _norm_col().alias("nrm"))
+    grouped = _grouped_pair_scores(
+        n.select("g", "vec_id", "embedding", "nrm"), ["g"], symmetric=True
+    )
+    got = {(r.q_id, r.vec_id): r.cos for r in grouped.collect()}
+    a = n.select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_e"),
+                 F.col("nrm").alias("q_n"), F.col("g").alias("ga"))
+    b = n.select("vec_id", "embedding", "nrm", F.col("g").alias("gb"))
+    cos = _dot(F.col("q_e"), F.col("embedding")) / (F.col("q_n") * F.col("nrm"))
+    want = {
+        (r.q_id, r.vec_id): r.cos
+        for r in a.join(b, F.col("ga") == F.col("gb"))
+        .filter(F.col("q_id") != F.col("vec_id"))
+        .select("q_id", "vec_id", cos.alias("cos")).collect()
+    }
+    assert set(got) == set(want) and len(got) > 1000
+    for pair, v in want.items():
+        assert st.pack(">d", got[pair]) == st.pack(">d", v), (pair, got[pair], v)
