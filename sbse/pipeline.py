@@ -29,6 +29,7 @@ def run_pipeline(
     default_valid: bool = True,
     with_gorilla: bool = True,
     cache_tiers: bool = False,
+    bigkey_chunk_ms: int | None = None,
 ) -> dict[str, DataFrame]:
     """Returns the pipeline's output tables as DataFrames (lazy).
 
@@ -37,6 +38,12 @@ def run_pipeline(
     the missing-key semantics divergence (real Redis client: missing=false,
     redis/client.go:141-143; unit-test mock: missing=true,
     main_test.go:126-135).
+
+    ``bigkey_chunk_ms``: when set, the window stage runs through the
+    monster-key-safe chunked twins (sbse.bigkey) — every window partition
+    bounded to (source, key, chunk) — instead of the plain per-key windows.
+    Outputs are row-identical either way (asserted in test_bigkey); choose
+    it when one key's event count can exceed a single task's comfort zone.
     """
     from pyspark.sql import functions as F
 
@@ -47,9 +54,21 @@ def run_pipeline(
         states = gated.filter(
             F.coalesce(F.col("valid"), F.lit(default_valid))
         ).drop("valid")
-    merged = locf_merge(states)
-    sess_events = sessionize(merged, gap_ms=gap_ms, close_trailing=close_trailing)
-    sessions = session_rollup(sess_events)
+    if bigkey_chunk_ms is not None:
+        from sbse.bigkey import (locf_merge_chunked, session_rollup_agg,
+                                 sessionize_chunked)
+
+        merged = locf_merge_chunked(states, chunk_ms=bigkey_chunk_ms)
+        sess_events = sessionize_chunked(
+            merged, gap_ms=gap_ms, chunk_ms=bigkey_chunk_ms,
+            close_trailing=close_trailing,
+        )
+        sessions = session_rollup_agg(sess_events)
+    else:
+        merged = locf_merge(states)
+        sess_events = sessionize(merged, gap_ms=gap_ms,
+                                 close_trailing=close_trailing)
+        sessions = session_rollup(sess_events)
     tiers = tier_tables(merged)
     if cache_tiers:
         # The cascade re-aggregates tiers (1m -> 1h -> 1d -> gapfill); the

@@ -138,3 +138,17 @@ def test_monster_single_key_analytic(spark):
         assert int(r.ended_at.timestamp()) == start + per - 1, j
     # only the last session is open-able
     assert [r.is_open for r in rows] == [False] * (len(rows) - 1) + [True]
+
+
+def test_pipeline_bigkey_mode_equals_plain(spark):
+    """run_pipeline(bigkey_chunk_ms=...) must produce the same sessions and
+    tiers as the plain window path — the production switch for hot keys."""
+    from sbse.pipeline import run_pipeline
+    from sbse.tokens import synth
+
+    tok = synth(spark, 30_000).localCheckpoint()
+    plain = run_pipeline(tok, decode_mode="expr", with_gorilla=False)
+    big = run_pipeline(tok, decode_mode="expr", with_gorilla=False,
+                       bigkey_chunk_ms=120_000)
+    for table in ("sessions", "rollup_1m", "rollup_1d", "gapfill_1h"):
+        assert _sym_diff(plain[table], big[table]) == 0, table
