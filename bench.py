@@ -52,6 +52,8 @@ HEADLINE = [
     "q30_simhash_candidates",
     "q31_ann_ivf",
     "q33_rollup_quantiles",
+    "q34_sessions_bigkey",
+    "q35_quantile_cascade",
 ]
 
 
