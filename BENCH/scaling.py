@@ -34,6 +34,7 @@ import argparse
 import datetime as _dt
 import json
 import os
+import statistics
 import subprocess
 import sys
 
@@ -164,6 +165,59 @@ print("RESULT " + json.dumps({{"workers": {workers}, "cores": {cores},
       "total_cores": {workers} * {cores}, "wall_s": best}}))
 """
 
+# Window-shape control (round 5): bare Spark range -> modulo key -> window
+# running sum over (partitionBy key, orderBy id) on WIDE rows. No sbse code;
+# physically identical to the engine's dominant stage (hash exchange + sort
+# + window over wide rows — the rollup_1m/sessions shape the per-stage
+# breakdown names in every sub-0.8 run). If THIS control degrades with the
+# engine while the groupBy control and the compute control hold, the loss
+# is the host's memory bandwidth under sort/window traffic, not the
+# engine's plan.
+_WINDOW_CHILD = r"""
+import json, sys, time
+sys.path.insert(0, {repo!r})
+from sbse.session import get_spark
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+spark = get_spark(master="local-cluster[{workers},{cores},6144]",
+                  shuffle_partitions={shuffle},
+                  app_name="sbse-win-{workers}x{cores}",
+                  extra_conf={{
+                      "spark.executor.memory": "4g",
+                      "spark.local.dir": "/dev/shm/sbse_shuffle",
+                  }})
+spark.sparkContext.setLogLevel("ERROR")
+
+def drive():
+    df = spark.range(0, {rows}, 1, {tasks}).select(
+        (F.col("id") % {keys}).alias("k"), "id",
+        *[F.xxhash64(F.col("id") + i).alias("c%d" % i)
+          for i in range(6)],
+    )
+    w = Window.partitionBy("k").orderBy("id")
+    out = df.select(
+        F.sum(F.pmod(F.col("c0") + F.col("c5"), F.lit(1_000_000)))
+        .over(w).alias("rs")
+    )
+    return out.agg(F.max("rs")).collect()[0][0]
+
+n0 = None
+best = None
+for i in range({reps} + 1):
+    t0 = time.monotonic()
+    n = drive()
+    w = time.monotonic() - t0
+    if i == 0:
+        n0 = n
+        continue  # warm-up rep
+    assert n == n0
+    if best is None or w < best:
+        best = w
+print("RESULT " + json.dumps({{"workers": {workers}, "cores": {cores},
+      "total_cores": {workers} * {cores}, "wall_s": best}}))
+"""
+
 # Bare-Spark control: range -> modulo key -> groupBy count -> count. No sbse
 # code at all; its N -> 4N scaling is the host + vanilla-Spark ceiling.
 _CONTROL_CHILD = r"""
@@ -239,12 +293,33 @@ def _run_child(code: str) -> tuple[dict, float]:
     raise RuntimeError(f"no RESULT line; stderr tail: {out.stderr[-2000:]}")
 
 
+# Refuse-and-retry (round 5, VERDICT r4 next #1): a child whose measurement
+# window saw hypervisor steal above the threshold is rerun (cap below); the
+# attempt with the lowest wall is kept. This makes single RUNS of the
+# protocol disciplined by construction instead of relying on post-hoc
+# outlier judgment; the median-of-history block in BASELINE.md then reads
+# only disciplined runs.
+STEAL_RETRY_PCT = 1.0
+STEAL_MAX_RETRIES = 2
+
+
+def _run_child_quiet(code: str) -> dict:
+    best = None
+    for _ in range(STEAL_MAX_RETRIES + 1):
+        r, steal = _run_child(code)
+        if best is None or r["wall_s"] < best["wall_s"]:
+            best = r
+        if steal <= STEAL_RETRY_PCT:
+            break
+    return best
+
+
 def run_engine(workers: int, cores: int, tok_path: str, rows: int,
                reps: int) -> dict:
     code = _ENGINE_CHILD.format(repo=REPO, workers=workers, cores=cores,
                                 shuffle=max(workers * cores * 2, 16),
                                 tok_path=tok_path, reps=reps)
-    r, _ = _run_child(code)
+    r = _run_child_quiet(code)
     r["throughput_seq_per_s"] = rows / r["wall_s"]
     return r
 
@@ -259,8 +334,7 @@ def run_control(workers: int, cores: int, ctrl_rows: int, reps: int) -> dict:
                                  rows=ctrl_rows, keys=ctrl_rows // 400,
                                  tasks=max(workers * cores * 8, 64),
                                  reps=max(reps - 1, 2))
-    r, _ = _run_child(code)
-    return r
+    return _run_child_quiet(code)
 
 
 def run_compute(workers: int, cores: int, cpu_rows: int, reps: int) -> dict:
@@ -269,8 +343,16 @@ def run_compute(workers: int, cores: int, cpu_rows: int, reps: int) -> dict:
                                  rows=cpu_rows,
                                  tasks=max(workers * cores * 8, 64),
                                  reps=max(reps - 1, 2))
-    r, _ = _run_child(code)
-    return r
+    return _run_child_quiet(code)
+
+
+def run_window(workers: int, cores: int, win_rows: int, reps: int) -> dict:
+    code = _WINDOW_CHILD.format(repo=REPO, workers=workers, cores=cores,
+                                shuffle=max(workers * cores * 2, 16),
+                                rows=win_rows, keys=2000,
+                                tasks=max(workers * cores * 8, 64),
+                                reps=max(reps - 1, 2))
+    return _run_child_quiet(code)
 
 
 def _load_history() -> list[dict]:
@@ -297,11 +379,66 @@ def _render_md(rec: dict, history: list[dict], cpw: int, reps: int) -> str:
             f"| {lo['throughput_seq_per_s']:,.0f} → {hi['throughput_seq_per_s']:,.0f} "
             f"| **{p['efficiency']:.3f}** "
             f"| {p['control_efficiency']:.3f} "
+            f"| {p.get('window_efficiency', float('nan')):.3f} "
             f"| {p.get('compute_efficiency', float('nan')):.3f} "
             f"| {p['vs_control']:.2f}x "
             f"| {lo['steal_pct']:.0f}% / {hi['steal_pct']:.0f}% |"
         )
     pair_tbl = "\n".join(pair_rows)
+
+    stage_rows = []
+    for p in rec["pairs"]:
+        lo_a = p["low"].get("actions", {})
+        hi_a = p["high"].get("actions", {})
+        for k, se in (p.get("stage_efficiency") or {}).items():
+            stage_rows.append(
+                f"| {p['low']['workers']}→{p['high']['workers']} | {k} "
+                f"| {lo_a.get(k, float('nan')):.2f} → "
+                f"{hi_a.get(k, float('nan')):.2f} | {se:.3f} |"
+            )
+    stage_tbl = "\n".join(stage_rows) if stage_rows else "| (none) | | | |"
+
+    # Median-of-history replication (round 5): individual runs on this host
+    # oscillate with invisible interference (memory bandwidth shows up in
+    # neither steal nor load); the defensible statistic is the median + IQR
+    # over INDEPENDENT runs, split by configuration, with the same stats
+    # for the bare-Spark shuffle control next to it.
+    med_rows = []
+    combos = sorted({
+        (h.get("cores_per_worker", 4), p["low"]["workers"],
+         p["high"]["workers"])
+        for h in history for p in h.get("pairs", [])
+    })
+    for cpw_sel, lw, hw in combos:
+        effs_all = [
+            p["efficiency"] for h in history
+            if h.get("cores_per_worker", 4) == cpw_sel
+            for p in h.get("pairs", [])
+            if (p["low"]["workers"], p["high"]["workers"]) == (lw, hw)
+        ]
+        ctrl_all = [
+            p.get("control_efficiency") for h in history
+            if h.get("cores_per_worker", 4) == cpw_sel
+            for p in h.get("pairs", [])
+            if (p["low"]["workers"], p["high"]["workers"]) == (lw, hw)
+            and p.get("control_efficiency") == p.get("control_efficiency")
+        ]
+        if not effs_all:
+            continue
+        med = statistics.median(effs_all)
+        if len(effs_all) >= 4:
+            q = statistics.quantiles(effs_all, n=4)
+            iqr = f"{q[0]:.3f}–{q[2]:.3f}"
+        else:
+            iqr = "n<4"
+        cmed = (f"{statistics.median(ctrl_all):.3f}" if ctrl_all else "—")
+        n_ok = sum(1 for e in effs_all if e >= 0.8)
+        med_rows.append(
+            f"| {lw}→{hw}×{cpw_sel}c | {len(effs_all)} "
+            f"| **{med:.3f}** | {iqr} | {cmed} "
+            f"| {n_ok}/{len(effs_all)} |"
+        )
+    med_tbl = "\n".join(med_rows) if med_rows else "| (none) | | | | | |"
 
     hist_rows = []
     for h in history:
@@ -312,9 +449,10 @@ def _render_md(rec: dict, history: list[dict], cpw: int, reps: int) -> str:
                 f"| {p['low']['workers']}→{p['high']['workers']}×{cpw_h}c "
                 f"| {p['efficiency']:.3f} "
                 f"| {p.get('control_efficiency', float('nan')):.3f} "
+                f"| {p.get('window_efficiency', float('nan')):.3f} "
                 f"| {p.get('compute_efficiency', float('nan')):.3f} |"
             )
-    hist_tbl = "\n".join(hist_rows) if hist_rows else "| (none) | | | | | |"
+    hist_tbl = "\n".join(hist_rows) if hist_rows else "| (none) | | | | | | |"
 
     small_effs = [
         p["efficiency"]
@@ -365,15 +503,19 @@ Run {rec['ts']}.
 
 ## Engine measurements ({len(rec['pairs'])} N→4N pair(s) this run; full history below)
 
-| pair | cores | wall (s) | throughput (seq/s) | engine eff. | shuffle ctrl eff. | compute ctrl eff. | engine/shuffle-ctrl | steal lo/hi |
-|---|---|---|---|---|---|---|---|---|
+| pair | cores | wall (s) | throughput (seq/s) | engine eff. | shuffle ctrl eff. | window ctrl eff. | compute ctrl eff. | engine/shuffle-ctrl | steal lo/hi |
+|---|---|---|---|---|---|---|---|---|---|
 {pair_tbl}
 
 Efficiency = (low wall / high wall) / 4. The two controls BRACKET the host
 at the same cluster sizes with no engine code: "shuffle ctrl" is a bare
 `spark.range` modulo-key groupBy-count shuffle (the host + vanilla-Spark
-shuffle ceiling — the engine's job shape); "compute ctrl" is a shuffle-free
-xxhash64 chain (how pure CPU work scales — the upper bracket). An engine
+shuffle ceiling); "window ctrl" is a bare hash-exchange + sort + running
+window over wide rows — PHYSICALLY the engine's dominant stage shape
+(the per-stage table names rollup_1m/sessions, both window-over-exchange,
+in every sub-0.8 run), so it is the engine's shape-matched ceiling;
+"compute ctrl" is a shuffle-free xxhash64 chain (how pure CPU work scales
+— the upper bracket). An engine
 between the brackets and ABOVE the shuffle control is scaling as well as
 this host lets any shuffle-bearing Spark job scale. Outputs at both sizes
 of every pair are identical (counts asserted: sessions {lo0['sessions']},
@@ -382,6 +524,29 @@ partitioning-invariant — tests/test_sessionize.py::test_partition_invariance).
 
 **This run: engine {', '.join(f"{e:.3f}" for e in effs)} vs control
 {', '.join(f"{c:.3f}" for c in ctrl_effs)} — {verdict}.**
+
+## Per-stage N→4N efficiency (this run)
+
+Each pipeline stage timed separately at both cluster sizes (best per
+stage across reps). A sub-0.8 run is localized here: a single stage
+below the others names the offender; all stages moving together names
+the host.
+
+| pair | stage | wall lo → hi (s) | stage eff. |
+|---|---|---|---|
+{stage_tbl}
+
+## Replication: median over independent runs
+
+Individual runs on this host oscillate with interference that steal
+sampling cannot see (memory-bandwidth contention); the defensible
+statistic is the median ± IQR over independent runs per configuration,
+read against the bare-Spark shuffle control's median measured the same
+way in the same sessions.
+
+| config | n runs | median eff. | IQR | median shuffle-ctrl | ≥0.8 tally |
+|---|---|---|---|---|---|
+{med_tbl}
 
 **Replication (read with the history table):** the 1→4-executor pair at
 2 cores/worker — the least host-saturated configuration, hence the
@@ -393,8 +558,8 @@ control at every saturated pair.
 
 ## Measurement history (BENCH/scaling_runs.jsonl — append-only)
 
-| run | rows | pair | engine eff. | shuffle ctrl | compute ctrl |
-|---|---|---|---|---|---|
+| run | rows | pair | engine eff. | shuffle ctrl | window ctrl | compute ctrl |
+|---|---|---|---|---|---|---|
 {hist_tbl}
 
 ## Controls & caveats (structural — regenerated with every run)
@@ -429,6 +594,7 @@ def main() -> None:
     ap.add_argument("--rows", type=int, default=64_000_000)
     ap.add_argument("--ctrl-rows", type=int, default=400_000_000)
     ap.add_argument("--cpu-rows", type=int, default=1_500_000_000)
+    ap.add_argument("--win-rows", type=int, default=32_000_000)
     ap.add_argument("--pairs", type=str, default="1:4,2:8",
                     help="comma-separated low:high worker pairs")
     ap.add_argument("--cores-per-worker", type=int, default=4)
@@ -460,9 +626,17 @@ def main() -> None:
             hi["sessions"], hi["r1m"], hi["r1d"]), \
             "outputs differ across cluster sizes!"
         eff = (lo["wall_s"] / hi["wall_s"]) / factor
+        # per-stage breakdown (round 5): localizes WHERE a sub-0.8 run
+        # loses time at the high side instead of leaving whole-job wall
+        # as the only evidence
+        stage_eff = {
+            k: round((lo["actions"][k] / hi["actions"][k]) / factor, 3)
+            for k in lo.get("actions", {})
+            if hi.get("actions", {}).get(k)
+        }
         if args.skip_controls:
-            c_eff = p_eff = float("nan")
-            clo = chi = plo = phi = None
+            c_eff = p_eff = w_eff = float("nan")
+            clo = chi = plo = phi = wlo = whi = None
         else:
             clo = run_control(low_w, cpw, args.ctrl_rows, args.timed_reps)
             chi = run_control(high_w, cpw, args.ctrl_rows, args.timed_reps)
@@ -470,13 +644,19 @@ def main() -> None:
             plo = run_compute(low_w, cpw, args.cpu_rows, args.timed_reps)
             phi = run_compute(high_w, cpw, args.cpu_rows, args.timed_reps)
             p_eff = (plo["wall_s"] / phi["wall_s"]) / factor
+            wlo = run_window(low_w, cpw, args.win_rows, args.timed_reps)
+            whi = run_window(high_w, cpw, args.win_rows, args.timed_reps)
+            w_eff = (wlo["wall_s"] / whi["wall_s"]) / factor
         pairs.append({
             "low": lo, "high": hi, "factor": factor,
             "efficiency": round(eff, 3),
+            "stage_efficiency": stage_eff,
             "control_low": clo, "control_high": chi,
             "control_efficiency": round(c_eff, 3),
             "compute_low": plo, "compute_high": phi,
             "compute_efficiency": round(p_eff, 3),
+            "window_low": wlo, "window_high": whi,
+            "window_efficiency": round(w_eff, 3),
             "vs_control": round(eff / c_eff, 3) if c_eff == c_eff else
             float("nan"),
         })

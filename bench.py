@@ -13,9 +13,17 @@ BENCH_r03 with 3-10x inflated numbers):
 * each query runs SBSE_BENCH_RUNS times (default 3) and reports the
   best-of-N (the run least hurt by transient contention); the pipeline runs
   SBSE_BENCH_PIPE_RUNS times (default 2, caches unpersisted between runs);
-* the JSON carries a ``host`` block — steal lo/hi over all segments,
-  load averages, and a ``contended`` flag (any segment steal > 2%) — so a
-  poisoned artifact is self-identifying instead of silently wrong.
+* REFUSE-AND-RETRY (round 5, VERDICT r4 #7): a timed segment whose steal
+  window exceeds 2% is recorded but NOT trusted — if a query has no quiet
+  run after its N, up to SBSE_BENCH_MAX_RETRIES (default 6) extra runs are
+  added until one lands in a quiet window. The reported best-of is the best
+  QUIET run when any exists; ``contended`` is true only if some query never
+  got a quiet window at all, so the artifact converges to contended=false
+  without human judgment whenever the host offers any quiet air;
+* the JSON carries a ``host`` block — steal lo/hi over all segments, per-
+  query steal lists, retry counts, load averages, and the ``contended``
+  flag — so a poisoned artifact is self-identifying instead of silently
+  wrong.
 """
 
 from __future__ import annotations
@@ -33,6 +41,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 SYNTH_ROWS = int(os.environ.get("SBSE_BENCH_SYNTH_ROWS", "2000000"))
 N_RUNS = int(os.environ.get("SBSE_BENCH_RUNS", "3"))
 N_PIPE_RUNS = int(os.environ.get("SBSE_BENCH_PIPE_RUNS", "2"))
+MAX_RETRIES = int(os.environ.get("SBSE_BENCH_MAX_RETRIES", "6"))
 STEAL_CONTENDED_PCT = 2.0
 
 HEADLINE = [
@@ -77,6 +86,28 @@ def _timed(fn) -> tuple[float, float]:
     return dt, steal_pct
 
 
+def _best_quiet(fn, n_runs: int):
+    """Best-of-N with refuse-and-retry: contended segments (steal above
+    STEAL_CONTENDED_PCT) are recorded but never reported as the best; if
+    all N are contended, keep adding single runs (cap MAX_RETRIES) until a
+    quiet window lands. Returns (best, runs, run_steals, contended)."""
+    runs: list[float] = []
+    stls: list[float] = []
+    for _ in range(n_runs):
+        dt, st = _timed(fn)
+        runs.append(round(dt, 3))
+        stls.append(round(st, 2))
+    extra = 0
+    while (not any(s <= STEAL_CONTENDED_PCT for s in stls)
+           and extra < MAX_RETRIES):
+        dt, st = _timed(fn)
+        runs.append(round(dt, 3))
+        stls.append(round(st, 2))
+        extra += 1
+    quiet = [d for d, s in zip(runs, stls) if s <= STEAL_CONTENDED_PCT]
+    return (min(quiet) if quiet else min(runs)), runs, stls, not quiet
+
+
 def main() -> None:
     from sbse.pipeline import run_pipeline
     from sbse.queries import all_queries
@@ -100,14 +131,18 @@ def main() -> None:
     for name in ("q01_decode", "q22_minhash_lsh", "q26_ann_topk",
                  "q30_simhash_candidates", "q31_ann_ivf"):
         qs[name](spark, warm_sf).count()
+    qsteals: dict[str, list[float]] = {}
+    contended_queries: list[str] = []
     for name in HEADLINE:
-        runs = []
-        for _ in range(N_RUNS):
-            dt, st = _timed(lambda: qs[name](spark, SF_DIR).count())
-            runs.append(round(dt, 3))
-            steals.append(round(st, 2))
+        best, runs, stls, contended = _best_quiet(
+            lambda: qs[name](spark, SF_DIR).count(), N_RUNS
+        )
         qruns[name] = runs
-        qtimes[name] = min(runs)
+        qsteals[name] = stls
+        steals.extend(stls)
+        qtimes[name] = best
+        if contended:
+            contended_queries.append(name)
 
     # throughput: full pipeline (decode -> LOCF -> sessionize -> 3 tiers ->
     # gapfill -> metrics) over a parquet token table of SYNTH_ROWS sequences
@@ -126,7 +161,9 @@ def main() -> None:
 
     counts: dict[str, int] = {}
     pipe_runs: list[float] = []
-    for _ in range(N_PIPE_RUNS):
+    pipe_stls: list[float] = []
+
+    def _pipe_once() -> tuple[float, float]:
         out = run_pipeline(tok, decode_mode="expr", with_gorilla=False,
                            cache_tiers=True)
 
@@ -142,13 +179,29 @@ def main() -> None:
             )
 
         dt, st = _timed(drive)
-        pipe_runs.append(round(dt, 3))
-        steals.append(round(st, 2))
         # drop this run's tier caches so the next timed run (or a rerun of
         # bench) cannot hit them: identical analyzed plans WOULD cache-hit
         out["rollup_1m"].unpersist(True)
         out["rollup_1h"].unpersist(True)
-    pipe_s = min(pipe_runs)
+        return round(dt, 3), round(st, 2)
+
+    for _ in range(N_PIPE_RUNS):
+        dt, st = _pipe_once()
+        pipe_runs.append(dt)
+        pipe_stls.append(st)
+    extra = 0
+    while (not any(s <= STEAL_CONTENDED_PCT for s in pipe_stls)
+           and extra < MAX_RETRIES):
+        dt, st = _pipe_once()
+        pipe_runs.append(dt)
+        pipe_stls.append(st)
+        extra += 1
+    steals.extend(pipe_stls)
+    quiet_pipe = [d for d, s in zip(pipe_runs, pipe_stls)
+                  if s <= STEAL_CONTENDED_PCT]
+    pipe_s = min(quiet_pipe) if quiet_pipe else min(pipe_runs)
+    if not quiet_pipe:
+        contended_queries.append("pipeline_e2e")
     total = round(sum(qtimes.values()) + pipe_s, 3)
     qtimes["pipeline_e2e"] = pipe_s
     qruns["pipeline_e2e"] = pipe_runs
@@ -167,6 +220,7 @@ def main() -> None:
                 "pipeline_out_counts": counts,
                 "cpus": os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count())),
                 "query_runs": qruns,
+                "query_steals": qsteals,
                 "host": {
                     "steal_pct_min": min(steals),
                     "steal_pct_max": max(steals),
@@ -174,7 +228,13 @@ def main() -> None:
                     "loadavg_end": round(load_end[0], 2),
                     "runs_per_query": N_RUNS,
                     "pipeline_runs": N_PIPE_RUNS,
-                    "contended": max(steals) > STEAL_CONTENDED_PCT,
+                    "max_retries": MAX_RETRIES,
+                    "pipeline_steals": pipe_stls,
+                    # contended = some segment NEVER saw a quiet window
+                    # even after retries; a lone noisy run that was
+                    # retried into quiet air does not poison the artifact
+                    "contended_queries": contended_queries,
+                    "contended": bool(contended_queries),
                 },
             }
         )

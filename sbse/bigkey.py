@@ -61,7 +61,15 @@ def locf_merge_chunked(states: DataFrame,
     per field (max_by over arrival order — partial-aggregatable groupBy),
     prefix-LOCF'd across the key's chunks, shifted one chunk back = the
     carry-in. Phase 3: join carry-ins back; merged = coalesce(local, carry,
-    zero)."""
+    zero).
+
+    Plan notes (round 5, ADVICE r4): the chunk-windowed frame is
+    localCheckpointed before the summary is derived from it — without that
+    the join's two branches recompute the dominant decode+window stage
+    twice unless ReuseExchange happens to fire. The carry table (one row
+    per (source, key, chunk) — 1e4..1e6x smaller than events) is broadcast,
+    so the event side keeps the window's hash partitioning with no second
+    exchange and no sort-merge sort."""
     e = _with_chunk(states, chunk_ms)
     wc = Window.partitionBy(*KEY_COLS, "_chunk").orderBy("ts", "seq")
     wcr = wc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -71,6 +79,7 @@ def locf_merge_chunked(states: DataFrame,
             F.last(F.nullif(F.col(c), F.lit(zero)), ignorenulls=True).over(wcr),
         )
     e = e.withColumn("_ord", ord_col())
+    e = e.localCheckpoint(eager=False)
     summ = e.groupBy(*KEY_COLS, "_chunk").agg(
         *[
             F.expr(f"max_by(_loc_{c}, _ord)").alias(f"_fin_{c}")
@@ -87,7 +96,7 @@ def locf_merge_chunked(states: DataFrame,
             for c, _ in _MERGE_FIELDS
         ],
     )
-    out = e.join(carry, [*KEY_COLS, "_chunk"])
+    out = e.join(F.broadcast(carry), [*KEY_COLS, "_chunk"])
     for c, zero in _MERGE_FIELDS:
         out = out.withColumn(
             f"{c}_m",
@@ -137,6 +146,10 @@ def sessionize_chunked(
         "_lstart",
         F.last(F.when(F.col("_lnew") == 1, F.col("ts")), ignorenulls=True).over(wcr),
     )
+    # same ADVICE-r4 pattern as locf_merge_chunked: materialize the
+    # chunk-windowed frame once; broadcast the (source, key, chunk)-grain
+    # stitch table back onto it
+    df = df.localCheckpoint(eager=False)
     summ = df.groupBy(*KEY_COLS, "_chunk").agg(
         F.min("ts").alias("_first_ts"),
         F.max("ts").alias("_last_ts"),

@@ -52,8 +52,45 @@ def _dot(a, b):
     )
 
 
+# _grouped_pair_scores group-size cap: an applyInPandas group ships whole
+# to one Python worker, so a skewed (band, bucket) / hot IVF cell must not
+# be unbounded (ADVICE r4: a degenerate bucket — e.g. all-zero embeddings —
+# would OOM the worker where the old pair-join spilled through Spark).
+# Groups above the cap take the pair-JOIN fold path instead: same
+# bit-identical ordered accumulation, spills through Spark's operators.
+_GROUP_ROWS_MAX = 100_000
+# q-row block width inside score(): bounds the numpy scratch matrix to
+# _SCORE_BLOCK x |group| doubles (~160 MB at the group cap) instead of
+# |q| x |h|.
+_SCORE_BLOCK = 2048
+
+
+def _pair_join_scores(rows: DataFrame, keys: list[str],
+                      symmetric: bool) -> DataFrame:
+    """Fallback scorer for groups above _GROUP_ROWS_MAX: a plain equi-join
+    on the group keys + the interpreted ordered fold. Bit-identical cosines
+    (same left-to-right accumulation); ships each vector once per pair, but
+    spills through Spark's join/shuffle machinery instead of one worker's
+    heap — the right trade ONLY for degenerate hot groups."""
+    if symmetric:
+        q = rows.select(*keys, F.col("vec_id").alias("q_id"),
+                        F.col("embedding").alias("q_e"),
+                        F.col("nrm").alias("q_n"))
+        h = rows.select(*keys, "vec_id", "embedding", "nrm")
+    else:
+        q = rows.filter(F.col("role") == 1).select(
+            *keys, F.col("vec_id").alias("q_id"),
+            F.col("embedding").alias("q_e"), F.col("nrm").alias("q_n"))
+        h = rows.filter(F.col("role") == 0).select(
+            *keys, "vec_id", "embedding", "nrm")
+    pairs = q.join(h, keys).filter(F.col("q_id") != F.col("vec_id"))
+    cos = _dot(F.col("q_e"), F.col("embedding")) / (F.col("q_n") * F.col("nrm"))
+    return pairs.select("q_id", "vec_id", cos.alias("cos"))
+
+
 def _grouped_pair_scores(rows: DataFrame, keys: list[str],
-                         symmetric: bool = False) -> DataFrame:
+                         symmetric: bool = False,
+                         max_group_rows: int = _GROUP_ROWS_MAX) -> DataFrame:
     """Per-group pair scoring WITHOUT the array-duplicating pair join: one
     ``applyInPandas`` per group ships every vector ONCE (not once per
     candidate pair) and scores all (query, neighbor) pairs with a strict
@@ -71,7 +108,16 @@ def _grouped_pair_scores(rows: DataFrame, keys: list[str],
 
     ``rows``: (keys..., role, vec_id, embedding, nrm); role 0 = candidate
     neighbor ("home"), role 1 = query. ``symmetric=True`` treats every row
-    as both (LSH buckets). Self-pairs are dropped."""
+    as both (LSH buckets). Self-pairs are dropped.
+
+    Scale caps (round 5, ADVICE r4): group size is ENFORCED, not assumed —
+    a cheap (keys)->count aggregation finds groups above ``max_group_rows``
+    (control-plane collect: at most total_rows/max_group_rows key tuples);
+    their rows are routed to the pair-join fold path (bit-identical cos,
+    spills through Spark operators) while every bounded group keeps the
+    fast one-worker matmul. Inside score(), the scratch matrix is blocked
+    over q rows (_SCORE_BLOCK), so worker scratch is O(block x group), not
+    O(|q| x |h|)."""
 
     def score(pdf):
         import numpy as np
@@ -89,21 +135,52 @@ def _grouped_pair_scores(rows: DataFrame, keys: list[str],
             return empty
         A = np.stack(q["embedding"].to_numpy()).astype(np.float64)
         B = np.stack(h["embedding"].to_numpy()).astype(np.float64)
-        acc = np.zeros((len(q), len(h)))
-        for j in range(A.shape[1]):  # ascending dims: the fold's order
-            acc = acc + np.multiply.outer(A[:, j], B[:, j])
-        den = np.multiply.outer(q["nrm"].to_numpy(), h["nrm"].to_numpy())
-        cos = acc / den
-        qi = np.repeat(q["vec_id"].to_numpy(), len(h))
-        vi = np.tile(h["vec_id"].to_numpy(), len(q))
-        keep = qi != vi
-        return pd.DataFrame(
-            {"q_id": qi[keep], "vec_id": vi[keep], "cos": cos.ravel()[keep]}
-        )
+        hn = h["nrm"].to_numpy()
+        hid = h["vec_id"].to_numpy()
+        parts = []
+        for i0 in range(0, len(q), _SCORE_BLOCK):
+            Ab = A[i0:i0 + _SCORE_BLOCK]
+            nb = Ab.shape[0]
+            acc = np.zeros((nb, len(h)))
+            for j in range(A.shape[1]):  # ascending dims: the fold's order
+                acc = acc + np.multiply.outer(Ab[:, j], B[:, j])
+            den = np.multiply.outer(
+                q["nrm"].to_numpy()[i0:i0 + nb], hn
+            )
+            cos = acc / den
+            qi = np.repeat(q["vec_id"].to_numpy()[i0:i0 + nb], len(h))
+            vi = np.tile(hid, nb)
+            keep = qi != vi
+            parts.append(pd.DataFrame(
+                {"q_id": qi[keep], "vec_id": vi[keep],
+                 "cos": cos.ravel()[keep]}
+            ))
+        return pd.concat(parts, ignore_index=True) if parts else empty
 
-    return rows.groupBy(*keys).applyInPandas(
+    rows = rows.localCheckpoint(eager=False)
+    big = (
+        rows.groupBy(*keys).agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") > max_group_rows).select(*keys).collect()
+    )
+    grouped = rows
+    if big:
+        bigdf = F.broadcast(
+            rows.sparkSession.createDataFrame(big, rows.select(*keys).schema)
+        )
+        grouped = rows.join(bigdf, keys, "left_anti")
+    scored = grouped.groupBy(*keys).applyInPandas(
         score, "q_id bigint, vec_id bigint, cos double"
     )
+    if big:
+        over = rows.join(
+            F.broadcast(
+                rows.sparkSession.createDataFrame(
+                    big, rows.select(*keys).schema)
+            ),
+            keys, "left_semi",
+        )
+        scored = scored.unionByName(_pair_join_scores(over, keys, symmetric))
+    return scored
 
 
 def _rank_topk(scored: DataFrame, k: int) -> DataFrame:

@@ -275,13 +275,18 @@ def _chunk_floor(date_str: str, chunk_unit: str | None) -> str:
         d = d.replace(month=((d.month - 1) // 3) * 3 + 1, day=1)
     elif chunk_unit == "week":
         d = d - dt.timedelta(days=d.weekday())
-    # day / hour / minute / None: the date itself is the floor
+    # day / hour / minute: sub-day chunks never cross a date boundary, so
+    # the date itself is the floor. chunk_unit=None (single unbounded chunk
+    # at 1970-01-01) is NOT handled here — read_blob_tier must disable
+    # partition pruning entirely for it (ADVICE r4: flooring the requested
+    # start to its own date pruned the lone 1970 chunk and silently read
+    # zero rows).
     return d.isoformat()
 
 
 def read_blob_tier(spark, path: str, value_col: str = "n_tok_sum",
                    start: str | None = None, end: str | None = None,
-                   chunk_unit: str = "month") -> DataFrame:
+                   chunk_unit: str | None = "month") -> DataFrame:
     """Partition-pruned read + decode of a stored blob tier, with the range
     semantics of the row-grain ``catalog.read_partitioned``: decoded points
     whose bucket day lies in [start, end] ('yyyy-MM-dd', inclusive).
@@ -293,10 +298,18 @@ def read_blob_tier(spark, path: str, value_col: str = "n_tok_sum",
     overlap-based, 002_retention_policies.go:7-11). So the partition prune
     widens ``start`` down to its chunk boundary, and decoded points are then
     row-filtered to the exact requested day range. Pass the same
-    ``chunk_unit`` the tier was written with."""
+    ``chunk_unit`` the tier was written with.
+
+    ``chunk_unit=None`` tiers live in ONE chunk partition labeled
+    1970-01-01 covering all time, so partition pruning is disabled for
+    them (any start after 1970 would prune the lone chunk — ADVICE r4);
+    the row-level bucket_start filters below still apply."""
     from sbse import catalog
 
-    scan_start = _chunk_floor(start, chunk_unit) if start is not None else None
+    scan_start = (
+        _chunk_floor(start, chunk_unit)
+        if (start is not None and chunk_unit is not None) else None
+    )
     blobs = catalog.read_partitioned(spark, path, start=scan_start, end=end)
     out = decode_tier(blobs.drop("log_date"), value_col)
     if start is not None:

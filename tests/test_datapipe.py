@@ -491,3 +491,70 @@ def test_grouped_scorer_bit_equal_to_fold(spark):
     assert set(got) == set(want) and len(got) > 1000
     for pair, v in want.items():
         assert st.pack(">d", got[pair]) == st.pack(">d", v), (pair, got[pair], v)
+
+
+def test_grouped_scorer_group_cap_fallback(spark):
+    """Groups above max_group_rows must route through the pair-join fold
+    fallback (ADVICE r4: unbounded applyInPandas groups OOM one worker) and
+    produce BIT-identical output to the uncapped scorer — both for the
+    symmetric (LSH-bucket) and the role-split (IVF-cell) shape."""
+    import random
+    import struct as st
+
+    from sbse.datapipe.similarity import _grouped_pair_scores, _norm_col
+
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.uniform(-2, 2) for _ in range(8)], i % 3, i % 2)
+        for i in range(90)
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, g int, role int"
+    )
+    n = df.select("g", "role", "vec_id", "embedding", _norm_col().alias("nrm"))
+
+    for symmetric in (True, False):
+        uncapped = {
+            (r.q_id, r.vec_id): r.cos
+            for r in _grouped_pair_scores(n, ["g"], symmetric=symmetric)
+            .collect()
+        }
+        # cap of 10 makes EVERY group (30 rows each) oversized -> all rows
+        # take the fallback join path
+        capped = {
+            (r.q_id, r.vec_id): r.cos
+            for r in _grouped_pair_scores(n, ["g"], symmetric=symmetric,
+                                          max_group_rows=10).collect()
+        }
+        assert set(capped) == set(uncapped) and len(uncapped) > 100
+        for pair, v in uncapped.items():
+            assert st.pack(">d", capped[pair]) == st.pack(">d", v), (
+                symmetric, pair, capped[pair], v)
+        # mixed: only group g=0 oversized (cap between group sizes is not
+        # constructible here since groups are equal-sized; instead cap at 29
+        # so all fall back — then at 31 so none do — both must agree)
+        for cap in (29, 31):
+            mixed = {
+                (r.q_id, r.vec_id): r.cos
+                for r in _grouped_pair_scores(n, ["g"], symmetric=symmetric,
+                                              max_group_rows=cap).collect()
+            }
+            assert mixed == capped or mixed == uncapped
+            assert set(mixed) == set(uncapped)
+
+
+def test_simhash_candidates_scale_guard(spark):
+    """The (7, 8) default's 8-bit band keys must REFUSE a doc population
+    whose estimated candidate-pair volume exceeds max_candidate_pairs
+    (VERDICT r4: 1M docs => ~2e10 pairs silently), while small inputs and
+    explicit opt-outs still run."""
+    from sbse.datapipe.dedup import simhash64, simhash_candidates
+
+    docs = _docs(spark, [BASE, NEAR, OTHER] * 20)
+    sims = simhash64(docs)
+    # tiny cap: the 60-doc population estimates >> 1 pair -> refused
+    with pytest.raises(ValueError, match="candidate pairs"):
+        simhash_candidates(sims, max_candidate_pairs=1).collect()
+    # None disables the guard; default cap passes at this scale
+    assert simhash_candidates(sims, max_candidate_pairs=None).count() > 0
+    assert simhash_candidates(sims).count() > 0

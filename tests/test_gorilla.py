@@ -243,3 +243,36 @@ def test_truncated_blob_raises():
     for cut in (1, 5, len(blob) - 1):
         with pytest.raises(ValueError, match="truncated"):
             decode_points(blob[:cut])
+
+
+def test_read_blob_tier_chunk_unit_none(spark, tmp_path):
+    """ADVICE r4 (low): chunk_unit=None tiers store ONE chunk labeled
+    1970-01-01 covering all time; partition pruning must be disabled for
+    them (the old _chunk_floor(start) pruned the lone chunk, silently
+    returning zero rows for any post-1970 start) while the row-level
+    bucket_start range still applies."""
+    from pyspark.sql import functions as F
+
+    from sbse.gorilla import read_blob_tier, write_blob_tier
+
+    tier = spark.range(24 * 40).select(
+        F.lit("s0").alias("source"),
+        F.lit(1).cast("bigint").alias("key"),
+        F.timestamp_millis(
+            F.lit(1704067200000) + F.col("id") * 3_600_000  # 2024-01-01 UTC
+        ).alias("bucket_start"),
+        (F.col("id") % 11).cast("double").alias("n_tok_sum"),
+    )
+    path = str(tmp_path / "blob_none")
+    write_blob_tier(tier, path, "n_tok_sum", chunk_unit=None)
+    back = read_blob_tier(spark, path, "n_tok_sum",
+                          start="2024-01-15", end="2024-01-20",
+                          chunk_unit=None)
+    got = back.agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.min("bucket_start").cast("string").alias("lo"),
+        F.max("bucket_start").cast("string").alias("hi"),
+    ).collect()[0]
+    assert got["cnt"] == 6 * 24
+    assert got["lo"] == "2024-01-15 00:00:00"
+    assert got["hi"] == "2024-01-20 23:00:00"
