@@ -152,6 +152,12 @@ def main() -> None:
     )
 
     # --- minhash LSH over the same corpus
+    # steady-state protocol (same as the simhash warm-up above and
+    # bench.py/scaling.py): drive the identical plan shape once at small
+    # scale so the timed run measures execution, not first-plan JIT +
+    # codegen + shuffle-buffer warm-up (measured ~2x on the first
+    # minhash run of a fresh JVM)
+    dd.minhash_lsh_pairs(docs.limit(5000), threshold=0.2).count()
     n_mh = timed(
         "minhash_lsh_pairs",
         lambda: dd.minhash_lsh_pairs(docs, threshold=0.2).count(),

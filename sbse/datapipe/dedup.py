@@ -118,28 +118,36 @@ def minhash_lsh_pairs(
     Jaccard denominator come free as ``size()`` of the same arrays, which
     also removes the two card joins."""
     rows = k // bands
-    sh = cap_shingle_df(shingles(docs, 3), max_df).localCheckpoint(eager=False)
-    sig = sh.groupBy("doc_id").agg(
+    sh = cap_shingle_df(shingles(docs, 3), max_df)
+    # ONE wide shuffle for the whole operator (round 5): a single groupBy
+    # computes BOTH the k signature mins (hash-agg, md5 evaluated map-side)
+    # and the per-doc sorted shingle array the verify join reads; the frame
+    # is checkpointed once and bands come from it in one posexplode
+    # projection. The old shape paid two 48M-row groupBys (sig AND
+    # card/sets) and re-derived the signature aggregation once per band
+    # per join side (quiet-host stage profile at 1M docs: 23.5s sig
+    # groupBy but 128.7s e2e = ~4-8 recomputations).
+    sets_sig = sh.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("shingle")).alias("shs"),
         *[
             F.min(
                 F.md5(F.concat(F.lit(str(s)), F.lit("|"), F.col("shingle")))
             ).alias(f"mh{s}")
             for s in range(k)
-        ]
+        ],
+    ).localCheckpoint(eager=False)
+    sets = sets_sig.select("doc_id", "shs")
+    sig = sets_sig.select("doc_id", *[f"mh{s}" for s in range(k)])
+    all_bands = sig.select(
+        "doc_id",
+        F.posexplode(
+            F.array(*[
+                F.md5(F.concat(*[F.col(f"mh{b * rows + r}")
+                                 for r in range(rows)]))
+                for b in range(bands)
+            ])
+        ).alias("band_id", "band"),
     )
-    band_frames = [
-        sig.select(
-            "doc_id",
-            F.lit(b).alias("band_id"),
-            F.md5(F.concat(*[F.col(f"mh{b * rows + r}") for r in range(rows)])).alias(
-                "band"
-            ),
-        )
-        for b in range(bands)
-    ]
-    all_bands = band_frames[0]
-    for bf in band_frames[1:]:
-        all_bands = all_bands.unionByName(bf)
     left = all_bands.select(F.col("doc_id").alias("doc_a"), "band_id", "band")
     right = all_bands.select(F.col("doc_id").alias("doc_b"),
                              F.col("band_id").alias("band_id_b"),
@@ -153,9 +161,6 @@ def minhash_lsh_pairs(
         )
         .select("doc_a", "doc_b")
         .distinct()
-    )
-    sets = sh.groupBy("doc_id").agg(
-        F.sort_array(F.collect_list("shingle")).alias("shs")
     )
     j = (
         cand.join(sets.select(F.col("doc_id").alias("doc_a"),
