@@ -196,8 +196,11 @@ def drive():
           for i in range(6)],
     )
     w = Window.partitionBy("k").orderBy("id")
+    # pmod BEFORE the add: raw xxhash64 longs overflow ANSI addition; the
+    # bounded terms keep the running sum < (rows/keys) * 2e6 << 2^63
     out = df.select(
-        F.sum(F.pmod(F.col("c0") + F.col("c5"), F.lit(1_000_000)))
+        F.sum(F.pmod(F.col("c0"), F.lit(1_000_000))
+              + F.pmod(F.col("c5"), F.lit(1_000_000)))
         .over(w).alias("rs")
     )
     return out.agg(F.max("rs")).collect()[0][0]
