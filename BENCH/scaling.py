@@ -586,6 +586,16 @@ control at every saturated pair.
   plan-level properties that govern real-cluster scaling (single full-data
   exchange, partial aggregation, broadcast dims, salted hot keys,
   partition-grain checkpointing) are documented in PLANS.md.
+- **Remote-fetch asymmetry (why the shape-matched window control is the
+  right ceiling)**: with W executors a shuffle fetch is remote with
+  probability (W-1)/W, so the 1→4-worker pair compares 0% remote fetches
+  against 75% — an asymmetry a real N→4N cluster (both sides ≈100% remote)
+  never has. It taxes exactly the stages that exchange FULL-WIDTH data
+  (the engine's window stages; the bare window control), and barely touches
+  the groupBy control, whose map-side partial aggregation shrinks its
+  exchange to ~one row per key. Engine ≥ window control therefore means
+  the engine's plan adds no scaling loss beyond what the host charges any
+  Spark job of that physical shape.
 - **Steady-state protocol**: per-process warm-up first (JIT + whole-stage
   codegen are per-process costs that amortize to ~0 on a long-running
   cluster job), plans built once, then best of {reps} timed drives.
