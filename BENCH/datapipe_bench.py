@@ -121,7 +121,6 @@ def main() -> None:
         "simhash_candidates_h3_b4",
         lambda: dd.simhash_candidates(sims_m, max_hamming=3, n_bands=4).count(),
     )
-    res["stages_out"] = {"simhash_candidates_h3_b4_pairs": n_cand}
     # band-table economics: bucket population of the 4 x 16-bit band table
     width = 16
     banded = sims_m.select(
@@ -150,6 +149,16 @@ def main() -> None:
         f"candidate pairs — use radius<=3 with 16-bit bands (or Manku "
         f"multi-block combos) at this scale"
     )
+    # --- the Manku multi-block path that keeps radius 7 FEASIBLE here:
+    # C(10,3)=120 ~19-bit combination tables => ~5e5 buckets/table, so the
+    # quadratic term stays bounded where 8-bit plain banding explodes.
+    n_mb = timed(
+        "simhash_multiblock_h7_c10_3",
+        lambda: dd.simhash_candidates_multiblock(
+            sims_m, max_hamming=7, n_blocks=10, comb=3).count(),
+    )
+    res["stages_out"] = {"simhash_candidates_h3_b4_pairs": n_cand,
+                         "simhash_multiblock_h7_pairs": n_mb}
 
     # --- minhash LSH over the same corpus
     # steady-state protocol (same as the simhash warm-up above and

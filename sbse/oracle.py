@@ -473,6 +473,19 @@ cand AS (
 SELECT doc_a, doc_b, CAST(bit_count(xor(sim_a, sim_b)) AS INT) AS hamming
 FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= 7"""
 
+    # Multi-block simhash candidates (q36): the engine's C(10,3)-table
+    # banding is pigeonhole-COMPLETE for hamming <= 7, so its output is
+    # exactly the radius-7 pair set — the oracle is the brute-force pair
+    # scan, deliberately NOT mirroring the banding: equality proves the
+    # completeness claim, not just that two implementations of the same
+    # bucketing agree.
+    q["q36_simhash_multiblock"] = f"""
+WITH s AS ({simhash_sql})
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM s a JOIN s b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 7"""
+
     # Language heuristic — same stopword tables (text.LANG_WORDS), same
     # left-to-right score sums, same greatest + explicit en > de > es
     # tie priority as the engine.

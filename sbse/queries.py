@@ -446,6 +446,19 @@ def q30_simhash_candidates(spark, sf_dir):
                                  max_hamming=7, n_bands=8)
 
 
+def q36_simhash_multiblock(spark, sf_dir):
+    """Radius-7 SimHash candidates through the MULTI-BLOCK banding tables
+    (10 blocks, C(10,3)=120 3-block combination keys, ~19-bit): the
+    scale-correct twin of q30's plain 8x8 banding, which radius 7 forces
+    onto 8-bit keys (~2e10 candidate pairs at 1M docs, refused by the
+    guard). Both are pigeonhole-complete, so both return EXACTLY the pairs
+    with hamming <= 7 — the oracle is the brute-force pair scan, which
+    checks completeness directly rather than mirroring the banding."""
+    return dd.simhash_candidates_multiblock(
+        dd.simhash64(_docs(spark, sf_dir)), max_hamming=7, n_blocks=10,
+        comb=3)
+
+
 def q35_quantile_cascade(spark, sf_dir):
     """Per-(source, key, hour) exact p50/p95 computed THROUGH the mergeable
     sketch cascade: 1m value-frequency sketches merged up to 1h (never
@@ -508,4 +521,5 @@ def all_queries():
         "q33_rollup_quantiles": q33_rollup_quantiles,
         "q34_sessions_bigkey": q34_sessions_bigkey,
         "q35_quantile_cascade": q35_quantile_cascade,
+        "q36_simhash_multiblock": q36_simhash_multiblock,
     }

@@ -558,3 +558,44 @@ def test_simhash_candidates_scale_guard(spark):
     # None disables the guard; default cap passes at this scale
     assert simhash_candidates(sims, max_candidate_pairs=None).count() > 0
     assert simhash_candidates(sims).count() > 0
+
+
+def test_simhash_multiblock_complete(spark):
+    """Multi-block banding (C(10,3) 3-block combination tables) returns
+    EXACTLY the radius-7 pair set — equal to plain (7, 8) banding (also
+    complete) AND to the brute-force cross scan, on real corpus data."""
+    from sbse.datapipe.dedup import (simhash64, simhash_candidates,
+                                     simhash_candidates_multiblock)
+
+    docs = (spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+            .limit(400))
+    sims = simhash64(docs).localCheckpoint()
+    mb = {(r.doc_a, r.doc_b): r.hamming
+          for r in simhash_candidates_multiblock(sims).collect()}
+    plain = {(r.doc_a, r.doc_b): r.hamming
+             for r in simhash_candidates(sims).collect()}
+    assert mb == plain
+    by_id = sorted((r.doc_id, r.simhash) for r in sims.collect())
+    brute = {}
+    for i, (ida, sa) in enumerate(by_id):
+        for idb, sb in by_id[i + 1:]:
+            h = bin((sa ^ sb) & 0xFFFFFFFFFFFFFFFF).count("1")
+            if h <= 7:
+                brute[(ida, idb)] = h
+    assert mb == brute
+
+
+def test_simhash_multiblock_params(spark):
+    """comb > n_blocks - max_hamming breaks the pigeonhole guarantee and is
+    refused; the uniform-occupancy guard refuses tiny caps; None disables."""
+    from sbse.datapipe.dedup import simhash64, simhash_candidates_multiblock
+
+    sims = simhash64(_docs(spark, [BASE, NEAR, OTHER] * 40))
+    with pytest.raises(ValueError, match="agreeing blocks"):
+        simhash_candidates_multiblock(sims, max_hamming=7, n_blocks=9,
+                                      comb=3)
+    # 120 docs over 120 ~19-bit tables: uniform estimate ~3 pairs > cap 1
+    with pytest.raises(ValueError, match="candidate pairs"):
+        simhash_candidates_multiblock(sims, max_candidate_pairs=1).collect()
+    assert simhash_candidates_multiblock(
+        sims, max_candidate_pairs=None).count() > 0
