@@ -63,6 +63,7 @@ HEADLINE = [
     "q33_rollup_quantiles",
     "q34_sessions_bigkey",
     "q35_quantile_cascade",
+    "q36_simhash_multiblock",
 ]
 
 
@@ -129,7 +130,8 @@ def main() -> None:
     # are per-process costs that amortize to ~0 on a long-running cluster.
     warm_sf = "/root/testdata/sf0.001"
     for name in ("q01_decode", "q22_minhash_lsh", "q26_ann_topk",
-                 "q30_simhash_candidates", "q31_ann_ivf"):
+                 "q30_simhash_candidates", "q31_ann_ivf",
+                 "q36_simhash_multiblock"):
         qs[name](spark, warm_sf).count()
     qsteals: dict[str, list[float]] = {}
     contended_queries: list[str] = []
