@@ -30,6 +30,15 @@ equi-join on the same keys against a table with one row per populated chunk
 gap can only straddle ADJACENT populated chunks' boundary rows (the stitch
 condition itself uses real timestamps, so non-adjacent populated chunks
 merge correctly too — relevant only at chunk_ms == gap_ms + epsilon).
+
+``monster_safe_sessions`` (the full chain, q34) does NOT compose the two
+twins: it fuses both column families into ONE bounded window pass + one
+summary + one broadcast join (the session lag columns depend only on
+(ts, seq), never on LOCF output), and prunes to the columns the rollup
+provably reads before the shuffle — the modular chain pays two full event
+exchanges/sorts/materializations for the same answer. The twins stay for
+modular use; the hypothesis property test pins the fused chain to the
+plain path.
 """
 
 from __future__ import annotations
@@ -47,13 +56,27 @@ CHUNK_MS_DEFAULT = 3_600_000
 
 
 def _with_chunk(df: DataFrame, chunk_ms: int) -> DataFrame:
+    """Attach the time-chunk column — or TRUST an existing ``_chunk``.
+
+    The reuse matters for the chained plan (monster_safe_sessions): the
+    frame coming out of ``locf_merge_chunked(keep_chunk=True)`` is already
+    hash-partitioned AND sorted by (source, key, _chunk, ts, seq) — a
+    partitioning the localCheckpoint preserved. Recomputing the floor()
+    creates a fresh attribute id Catalyst cannot prove equal to the one in
+    the preserved partitioning, forcing a second full exchange + sort of
+    the event frame. Callers passing a pre-chunked frame must have built
+    it with the SAME chunk_ms (monster_safe_sessions does; the chain is
+    equality-tested against the plain path and oracle-checked as q34)."""
+    if "_chunk" in df.columns:
+        return df
     return df.withColumn(
         "_chunk", F.floor(F.unix_millis("ts") / F.lit(chunk_ms))
     )
 
 
 def locf_merge_chunked(states: DataFrame,
-                       chunk_ms: int = CHUNK_MS_DEFAULT) -> DataFrame:
+                       chunk_ms: int = CHUNK_MS_DEFAULT,
+                       keep_chunk: bool = False) -> DataFrame:
     """W1 twin with bounded window partitions; output == ``locf_merge``.
 
     Phase 1 (bounded window): running LOCF of each field within
@@ -102,7 +125,8 @@ def locf_merge_chunked(states: DataFrame,
             f"{c}_m",
             F.coalesce(F.col(f"_loc_{c}"), F.col(f"_carry_{c}"), F.lit(zero)),
         )
-    drop = (["_ord", "_chunk"] + [f"_loc_{c}" for c, _ in _MERGE_FIELDS]
+    drop = (["_ord"] + ([] if keep_chunk else ["_chunk"])
+            + [f"_loc_{c}" for c, _ in _MERGE_FIELDS]
             + [f"_carry_{c}" for c, _ in _MERGE_FIELDS])
     return out.drop(*drop)
 
@@ -264,10 +288,119 @@ def monster_safe_sessions(
     chunk_ms: int = CHUNK_MS_DEFAULT,
     close_trailing: bool = True,
 ) -> DataFrame:
-    """The full monster-key-safe chain: chunked LOCF -> chunked sessionize
-    -> groupBy rollup. Output == session_rollup(sessionize(locf_merge(.)))
-    — oracle-checked as q34."""
-    m = locf_merge_chunked(states, chunk_ms)
-    s = sessionize_chunked(m, gap_ms=gap_ms, chunk_ms=chunk_ms,
-                           close_trailing=close_trailing)
-    return session_rollup_agg(s)
+    """The full monster-key-safe chain, FUSED: chunk-local LOCF and
+    chunk-local sessionization in ONE bounded window pass, one summary
+    groupBy carrying BOTH the LOCF carry state and the session stitch
+    fields, one broadcast join back, then the groupBy rollup. Output ==
+    session_rollup(sessionize(locf_merge(.))) — the hypothesis property
+    test pins it to the plain chain and the oracle checks it as q34.
+
+    Why fused (round 5): the modular chain (locf_merge_chunked →
+    sessionize_chunked) costs TWO full event exchanges + sorts + checkpoint
+    materializations, because the sessionize step's self-join dedup
+    re-aliases the checkpointed scan and loses the phase-1 partitioning.
+    But the session lag columns depend only on (ts, seq) — never on LOCF
+    output — so both column families legally share one window pass. The
+    fusion halves the event-frame shuffle/sort/materialization count while
+    every window partition stays bounded to (source, key, chunk)."""
+    if chunk_ms <= gap_ms:
+        raise ValueError(
+            f"chunk_ms={chunk_ms} must exceed gap_ms={gap_ms}: a chunk "
+            f"shorter than the gap cannot bound the stitch to boundaries"
+        )
+    # Column-prune BEFORE the window/checkpoint: the rollup reads only five
+    # of the LOCF families (callsign/lat/lon/altitude/ground_speed) and
+    # never the token arrays — carrying `tokens` (the widest column by far)
+    # through the shuffle, the checkpoint blocks, and the join would charge
+    # the chain ~2x for bytes its output provably cannot contain.
+    rollup_reads = {"callsign", "lat", "lon", "altitude", "ground_speed"}
+    fields = [(c, z) for c, z in _MERGE_FIELDS if c in rollup_reads]
+    e = _with_chunk(
+        states.select(*KEY_COLS, "ts", "seq", *[c for c, _ in fields]),
+        chunk_ms,
+    )
+    wc = Window.partitionBy(*KEY_COLS, "_chunk").orderBy("ts", "seq")
+    wcr = wc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # LOCF locals (locf_merge_chunked phase 1)
+    for c, zero in fields:
+        e = e.withColumn(
+            f"_loc_{c}",
+            F.last(F.nullif(F.col(c), F.lit(zero)), ignorenulls=True).over(wcr),
+        )
+    # session locals (sessionize_chunked phase 1 — ts/seq only)
+    prev_ms = F.lag(F.unix_millis("ts")).over(wc)
+    e = e.withColumn(
+        "_lnew",
+        F.when(
+            prev_ms.isNull() | (F.unix_millis("ts") - prev_ms > F.lit(gap_ms)),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    e = e.withColumn("_lsidx", F.sum("_lnew").over(wcr))
+    e = e.withColumn(
+        "_lstart",
+        F.last(F.when(F.col("_lnew") == 1, F.col("ts")),
+               ignorenulls=True).over(wcr),
+    )
+    e = e.withColumn("_ord", ord_col())
+    e = e.localCheckpoint(eager=False)
+    # ONE summary groupBy: per-chunk LOCF carry state + session stitch facts
+    summ = e.groupBy(*KEY_COLS, "_chunk").agg(
+        *[
+            F.expr(f"max_by(_loc_{c}, _ord)").alias(f"_fin_{c}")
+            for c, _ in fields
+        ],
+        F.min("ts").alias("_first_ts"),
+        F.max("ts").alias("_last_ts"),
+        F.max("_lsidx").alias("_nloc"),
+        F.expr("max_by(_lstart, struct(ts, seq))").alias("_last_lstart"),
+    )
+    ws = Window.partitionBy(*KEY_COLS).orderBy("_chunk")
+    wsr = ws.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_prev = ws.rowsBetween(Window.unboundedPreceding, -1)
+    for c, _ in fields:
+        summ = summ.withColumn(
+            f"_carry_{c}",
+            F.last(f"_fin_{c}", ignorenulls=True).over(w_prev),
+        )
+    prev_last = F.lag(F.unix_millis("_last_ts")).over(ws)
+    summ = summ.withColumn(
+        "_merge",
+        F.when(
+            prev_last.isNotNull()
+            & (F.unix_millis("_first_ts") - prev_last <= F.lit(gap_ms)),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    summ = summ.withColumn("_news", F.col("_nloc") - F.col("_merge"))
+    summ = summ.withColumn("_off", F.sum("_news").over(wsr) - F.col("_news"))
+    anchor = F.when(
+        ~((F.col("_nloc") == 1) & (F.col("_merge") == 1)), F.col("_last_lstart")
+    )
+    summ = summ.withColumn("_T", F.last(anchor, ignorenulls=True).over(wsr))
+    summ = summ.withColumn("_prevT", F.lag("_T").over(ws))
+    summ = summ.withColumn(
+        "_gmax",
+        F.max(F.col("_off") + F.col("_news")).over(Window.partitionBy(*KEY_COLS)),
+    )
+    j = e.join(
+        F.broadcast(summ.select(
+            *KEY_COLS, "_chunk", "_merge", "_off", "_gmax",
+            *[f"_carry_{c}" for c, _ in fields],
+        )),
+        [*KEY_COLS, "_chunk"],
+    )
+    for c, zero in fields:
+        j = j.withColumn(
+            f"{c}_m",
+            F.coalesce(F.col(f"_loc_{c}"), F.col(f"_carry_{c}"), F.lit(zero)),
+        )
+    # the rollup needs only sidx + trailing flags from the session family
+    # (session_rollup_agg derives session_id from min(ts), which equals the
+    # chain's true start by construction)
+    j = j.withColumn(
+        "sidx", F.col("_off") + F.col("_lsidx") - F.col("_merge")
+    )
+    j = j.withColumn("is_trailing", F.col("sidx") == F.col("_gmax"))
+    j = j.withColumn("close_trailing", F.lit(close_trailing))
+    return session_rollup_agg(j)
