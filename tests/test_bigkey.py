@@ -49,6 +49,23 @@ def test_sessionize_chunked_equals_plain(spark):
         assert _sym_diff(a, b) == 0, chunk_ms
 
 
+def test_modular_chain_keep_chunk(spark):
+    """locf_merge_chunked(keep_chunk=True) hands its _chunk column to
+    sessionize_chunked (which trusts a pre-attached _chunk instead of
+    recomputing the floor); the chain must still equal the plain path,
+    and the kept column must not leak into the sessionize output."""
+    from sbse.bigkey import locf_merge_chunked, sessionize_chunked
+    from sbse.sessionize import locf_merge, sessionize
+
+    st = _states(spark)
+    m = locf_merge_chunked(st, chunk_ms=120_000, keep_chunk=True)
+    assert "_chunk" in m.columns
+    b = sessionize_chunked(m, gap_ms=30_000, chunk_ms=120_000)
+    assert "_chunk" not in b.columns
+    a = sessionize(locf_merge(st), gap_ms=30_000)
+    assert _sym_diff(a, b) == 0
+
+
 def test_rollup_agg_equals_window(spark):
     from sbse.bigkey import session_rollup_agg
     from sbse.sessionize import locf_merge, session_rollup, sessionize
