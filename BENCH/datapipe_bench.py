@@ -39,6 +39,16 @@ if REPO not in sys.path:
 
 N_DOCS = int(os.environ.get("SBSE_DATAPIPE_DOCS", "1000000"))
 VOCAB = 20_000
+# Comma-separated stage-prefix filter (e.g. "minhash" or "simhash,minhash").
+# Empty = run everything. Lets a stage be timed in ISOLATION in a fresh JVM:
+# the in-process stage order is itself a measured variable (the multiblock
+# stage's ~120-way combination shuffle leaves the JVM with populated old-gen
+# and thousands of shuffle files, inflating whatever runs after it).
+STAGES = [s for s in os.environ.get("SBSE_DATAPIPE_STAGES", "").split(",") if s]
+
+
+def _stage_on(name: str) -> bool:
+    return not STAGES or any(name.startswith(p) for p in STAGES)
 
 
 def _proc_stat():
@@ -91,6 +101,8 @@ def main() -> None:
 
     res: dict = {"metric": "datapipe_1m_banding", "n_docs": N_DOCS,
                  "unit": "sec", "stages": {}, "band_stats": {}}
+    if STAGES:
+        res["stage_filter"] = STAGES  # partial run — not comparable e2e
     steals = []
 
     def timed(name, fn):
@@ -108,75 +120,88 @@ def main() -> None:
         synth_docs(spark, N_DOCS).write.mode("overwrite").parquet(corpus_path)
     docs = spark.read.parquet(corpus_path)
 
+    res["stages_out"] = {}
     # --- simhash + banded candidates (scale config: radius 3, 16-bit bands)
-    dd.simhash64(docs.limit(5000), mode="arrow").count()  # worker warm-up
-    sims = dd.simhash64(docs, mode="arrow")
-    timed("simhash64_arrow", lambda: sims.count())
+    need_sims = any(_stage_on(s) for s in (
+        "simhash64_arrow", "simhash_materialize", "simhash_candidates_h3_b4",
+        "simhash_multiblock_h7_c10_3"))
+    if need_sims:
+        dd.simhash64(docs.limit(5000), mode="arrow").count()  # worker warm-up
+    if _stage_on("simhash64_arrow"):
+        sims = dd.simhash64(docs, mode="arrow")
+        timed("simhash64_arrow", lambda: sims.count())
     # materialize the checkpointed frame FIRST so the candidates stage times
     # the banding join itself, not a second simhash pass hidden inside the
     # lazy checkpoint
-    sims_m = dd.simhash64(docs, mode="arrow").localCheckpoint(eager=False)
-    timed("simhash_materialize", lambda: sims_m.count())
-    n_cand = timed(
-        "simhash_candidates_h3_b4",
-        lambda: dd.simhash_candidates(sims_m, max_hamming=3, n_bands=4).count(),
-    )
-    # band-table economics: bucket population of the 4 x 16-bit band table
-    width = 16
-    banded = sims_m.select(
-        F.posexplode(
-            F.array(*[
-                F.shiftrightunsigned(F.col("simhash"), b * width)
-                .bitwiseAND(F.lit((1 << width) - 1))
-                for b in range(4)
-            ])
-        ).alias("band_id", "band")
-    )
-    bs = banded.groupBy("band_id", "band").count().agg(
-        F.max("count").alias("mx"), F.avg("count").alias("avg"),
-        F.count(F.lit(1)).alias("n_buckets"),
-    ).collect()[0]
-    res["band_stats"]["simhash_16bit"] = {
-        "max_bucket": int(bs["mx"]), "avg_bucket": round(float(bs["avg"]), 2),
-        "n_buckets": int(bs["n_buckets"]),
-        "est_pairs_per_band": round(float(bs["avg"]) * int(bs["mx"]) / 2, 1),
-    }
-    # the INfeasible default at this scale, documented by arithmetic not by
-    # melting the host: 8-bit bands -> 256 buckets/band
-    res["band_stats"]["simhash_8bit_default_note"] = (
-        f"radius-7/8-band default would put ~{N_DOCS // 256} docs per "
-        f"8-bit bucket => ~{8 * 256 * (N_DOCS // 256) ** 2 // 2:.0e} "
-        f"candidate pairs — use radius<=3 with 16-bit bands (or Manku "
-        f"multi-block combos) at this scale"
-    )
+    if need_sims:
+        sims_m = dd.simhash64(docs, mode="arrow").localCheckpoint(eager=False)
+        timed("simhash_materialize", lambda: sims_m.count())
+    if _stage_on("simhash_candidates_h3_b4"):
+        n_cand = timed(
+            "simhash_candidates_h3_b4",
+            lambda: dd.simhash_candidates(
+                sims_m, max_hamming=3, n_bands=4).count(),
+        )
+        res["stages_out"]["simhash_candidates_h3_b4_pairs"] = n_cand
+        # band-table economics: bucket population of the 4 x 16-bit band table
+        width = 16
+        banded = sims_m.select(
+            F.posexplode(
+                F.array(*[
+                    F.shiftrightunsigned(F.col("simhash"), b * width)
+                    .bitwiseAND(F.lit((1 << width) - 1))
+                    for b in range(4)
+                ])
+            ).alias("band_id", "band")
+        )
+        bs = banded.groupBy("band_id", "band").count().agg(
+            F.max("count").alias("mx"), F.avg("count").alias("avg"),
+            F.count(F.lit(1)).alias("n_buckets"),
+        ).collect()[0]
+        res["band_stats"]["simhash_16bit"] = {
+            "max_bucket": int(bs["mx"]),
+            "avg_bucket": round(float(bs["avg"]), 2),
+            "n_buckets": int(bs["n_buckets"]),
+            "est_pairs_per_band": round(float(bs["avg"]) * int(bs["mx"]) / 2,
+                                        1),
+        }
+        # the INfeasible default at this scale, documented by arithmetic not
+        # by melting the host: 8-bit bands -> 256 buckets/band
+        res["band_stats"]["simhash_8bit_default_note"] = (
+            f"radius-7/8-band default would put ~{N_DOCS // 256} docs per "
+            f"8-bit bucket => ~{8 * 256 * (N_DOCS // 256) ** 2 // 2:.0e} "
+            f"candidate pairs — use radius<=3 with 16-bit bands (or Manku "
+            f"multi-block combos) at this scale"
+        )
     # --- the Manku multi-block path that keeps radius 7 FEASIBLE here:
     # C(10,3)=120 ~19-bit combination tables => ~5e5 buckets/table, so the
     # quadratic term stays bounded where 8-bit plain banding explodes.
-    n_mb = timed(
-        "simhash_multiblock_h7_c10_3",
-        lambda: dd.simhash_candidates_multiblock(
-            sims_m, max_hamming=7, n_blocks=10, comb=3).count(),
-    )
-    res["stages_out"] = {"simhash_candidates_h3_b4_pairs": n_cand,
-                         "simhash_multiblock_h7_pairs": n_mb}
+    if _stage_on("simhash_multiblock_h7_c10_3"):
+        n_mb = timed(
+            "simhash_multiblock_h7_c10_3",
+            lambda: dd.simhash_candidates_multiblock(
+                sims_m, max_hamming=7, n_blocks=10, comb=3).count(),
+        )
+        res["stages_out"]["simhash_multiblock_h7_pairs"] = n_mb
 
     # --- minhash LSH over the same corpus
-    # steady-state protocol (same as the simhash warm-up above and
-    # bench.py/scaling.py): drive the identical plan shape once at small
-    # scale so the timed run measures execution, not first-plan JIT +
-    # codegen + shuffle-buffer warm-up (measured ~2x on the first
-    # minhash run of a fresh JVM)
-    dd.minhash_lsh_pairs(docs.limit(5000), threshold=0.2).count()
-    n_mh = timed(
-        "minhash_lsh_pairs",
-        lambda: dd.minhash_lsh_pairs(docs, threshold=0.2).count(),
-    )
-    res["stages_out"]["minhash_pairs"] = n_mh
-    sig = dd.cap_shingle_df(dd.shingles(docs, 3), 1000)
-    mh_bucket = (
-        sig.groupBy("shingle").count().agg(F.max("count")).collect()[0][0]
-    )
-    res["band_stats"]["minhash_max_shingle_df_after_cap"] = int(mh_bucket)
+    if _stage_on("minhash_lsh_pairs"):
+        # steady-state protocol (same as the simhash warm-up above and
+        # bench.py/scaling.py): drive the identical plan shape once at small
+        # scale so the timed run measures execution, not first-plan JIT +
+        # codegen + shuffle-buffer warm-up (measured ~2x on the first
+        # minhash run of a fresh JVM)
+        dd.minhash_lsh_pairs(docs.limit(5000), threshold=0.2).count()
+        n_mh = timed(
+            "minhash_lsh_pairs",
+            lambda: dd.minhash_lsh_pairs(docs, threshold=0.2).count(),
+        )
+        res["stages_out"]["minhash_pairs"] = n_mh
+        sig = dd.cap_shingle_df(dd.shingles(docs, 3), 1000)
+        mh_bucket = (
+            sig.groupBy("shingle").count().agg(F.max("count")).collect()[0][0]
+        )
+        res["band_stats"]["minhash_max_shingle_df_after_cap"] = int(mh_bucket)
 
     res["host_steal_pct"] = {"min": min(steals), "max": max(steals)}
     res["cpus"] = os.cpu_count()

@@ -25,12 +25,18 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def shingles(docs: DataFrame, n: int = 3) -> DataFrame:
-    """Distinct word n-gram shingles per doc (matches the oracle SQL shape:
-    1-based sequence over split(' ')). Docs with fewer than n words yield no
-    shingles (guarded: F.sequence defaults to step -1 when size < n, which
-    would produce invalid indices — mirrors the oracle's empty
-    generate_series)."""
+def raw_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
+    """Word n-gram shingles per doc, WITH within-doc duplicates, fully
+    inside whole-stage codegen: split -> explode(sequence) -> concat_ws.
+
+    This is the scale-path building block. The tempting alternative — a
+    per-row ``F.transform`` building the gram array row-locally — runs the
+    lambda through Spark's INTERPRETED expression path (higher-order
+    functions are CodegenFallback): measured 83s vs 4.9s for this shape on
+    the same 48M-gram corpus, a 17x penalty that dwarfs any shuffle it
+    avoids. Docs with fewer than n words yield no rows (F.sequence would
+    default to step -1 and produce invalid indices — the guard mirrors the
+    oracle's empty generate_series)."""
     ws = docs.select(
         "doc_id", "lang", F.split(F.col("text"), " ").alias("ws")
     )
@@ -42,7 +48,47 @@ def shingles(docs: DataFrame, n: int = 3) -> DataFrame:
     gram = F.concat_ws(
         " ", *[F.element_at("ws", F.col("i") + k) for k in range(n)]
     )
-    return e.select("doc_id", "lang", gram.alias("shingle")).distinct()
+    return e.select("doc_id", "lang", gram.alias("shingle"))
+
+
+def shingles(docs: DataFrame, n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per doc (matches the oracle SQL shape:
+    1-based sequence over split(' '))."""
+    return raw_shingles(docs, n).distinct()
+
+
+def hot_shingles(sh: DataFrame, max_df: int,
+                 n_buckets: int = 1 << 17) -> DataFrame:
+    """Shingles whose DISTINCT-document frequency exceeds ``max_df`` (the
+    stop-shingle set), found EXACTLY with a bucket-pruned two-pass count.
+
+    A direct ``groupBy(shingle)`` is the worst case for hash aggregation:
+    ~one distinct key per input row (40M distinct of 48M rows at the
+    1M-doc bench), so the map-side partial agg reduces nothing and the
+    exchange carries every distinct string — profiled at 77s of the 110s
+    operator it used to anchor. Pass 1 instead counts ROWS by
+    ``xxhash64(shingle) % n_buckets``: fixed-width long keys with real
+    map-side reduction, and a bucket whose total row count is <= max_df
+    cannot contain a shingle with distinct-doc frequency > max_df, so it
+    is pruned (row count >= distinct-doc count; duplicates and collisions
+    only ever ADD pass-2 work, never drop a hot shingle). Pass 2 exact
+    countDistinct(doc_id)-counts only the shingles in surviving buckets —
+    ~0 rows on a natural corpus. ``sh`` may therefore carry within-doc
+    duplicate shingles (raw_shingles) or not (shingles): the answer is
+    identical."""
+    b = sh.withColumn(
+        "_bkt", F.pmod(F.xxhash64("shingle"), F.lit(n_buckets)))
+    hot_bkts = (
+        b.groupBy("_bkt").agg(F.count(F.lit(1)).alias("bc"))
+        .filter(F.col("bc") > max_df).select("_bkt")
+    )
+    return (
+        b.join(F.broadcast(hot_bkts), "_bkt")
+        .groupBy("shingle")
+        .agg(F.countDistinct("doc_id").alias("sh_df"))
+        .filter(F.col("sh_df") > max_df)
+        .select("shingle")
+    )
 
 
 def cap_shingle_df(sh: DataFrame, max_df: int | None) -> DataFrame:
@@ -50,11 +96,21 @@ def cap_shingle_df(sh: DataFrame, max_df: int | None) -> DataFrame:
     stop-shingle with df=d makes the shingle self-join emit O(d²) rows for
     that group — at 100 TB one hot shingle is a quadratic blowup. Capping df
     bounds every group; Jaccard becomes 'Jaccard over informative shingles'
-    (the oracle applies the identical cap). None disables."""
+    (the oracle applies the identical cap). None disables.
+
+    Shape (round 5): the old version inner-joined ``sh`` against the KEPT
+    shingle list — nearly every distinct shingle (~40M rows at the 1M-doc
+    bench, where max df after capping measures 4), i.e. a sort-merge join
+    shuffling the full 48M-row frame against a frame almost as large. The
+    filter is inverted to a broadcast LEFT ANTI join against the HOT list,
+    whose size is bounded by total_occurrences / max_df and is ~0 in any
+    natural corpus. Same rows out. If a corpus ever overflows the broadcast
+    (pathological: most mass in stop-shingles), drop the hint — AQE picks
+    the strategy from runtime stats."""
     if max_df is None:
         return sh
-    dfc = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("sh_df"))
-    return sh.join(dfc.filter(F.col("sh_df") <= max_df), "shingle").drop("sh_df")
+    return sh.join(F.broadcast(hot_shingles(sh, max_df)), "shingle",
+                   "left_anti")
 
 
 def exact_dedup(docs: DataFrame) -> DataFrame:
@@ -122,17 +178,26 @@ def minhash_lsh_pairs(
     Jaccard denominator come free as ``size()`` of the same arrays, which
     also removes the two card joins."""
     rows = k // bands
-    sh = cap_shingle_df(shingles(docs, 3), max_df)
-    # ONE wide shuffle for the whole operator (round 5): a single groupBy
-    # computes BOTH the k signature mins (hash-agg, md5 evaluated map-side)
-    # and the per-doc sorted shingle array the verify join reads; the frame
-    # is checkpointed once and bands come from it in one posexplode
-    # projection. The old shape paid two 48M-row groupBys (sig AND
-    # card/sets) and re-derived the signature aggregation once per band
-    # per join side (quiet-host stage profile at 1M docs: 23.5s sig
-    # groupBy but 128.7s e2e = ~4-8 recomputations).
+    # ONE full-width exchange for the whole operator (round 5, take 2):
+    # grams stay in whole-stage codegen (raw_shingles, WITH within-doc
+    # duplicates — min over a multiset equals min over the set, so the
+    # signatures don't need distinctness), the df cap is a broadcast ANTI
+    # join against the tiny hot-shingle list (found by the bucket-pruned
+    # two-pass count, ~5s where the old kept-list sort-merge join paid
+    # 77s), and a single groupBy(doc_id) computes BOTH the k signature
+    # mins AND the per-doc sorted DISTINCT shingle array (collect_set) the
+    # verify join reads. The historical shapes this replaces paid a global
+    # distinct of the exploded frame, a 48M x 40M kept-shingle sort-merge
+    # join, and per-band signature recomputation; a row-local
+    # F.transform variant avoided the shuffles but ran the gram + md5
+    # lambdas through the interpreted expression path — measured 17x
+    # slower than this codegen shape on the same corpus.
+    sh = raw_shingles(docs, 3)
+    if max_df is not None:
+        sh = sh.join(F.broadcast(hot_shingles(sh, max_df)), "shingle",
+                     "left_anti")
     sets_sig = sh.groupBy("doc_id").agg(
-        F.sort_array(F.collect_list("shingle")).alias("shs"),
+        F.sort_array(F.collect_set("shingle")).alias("shs"),
         *[
             F.min(
                 F.md5(F.concat(F.lit(str(s)), F.lit("|"), F.col("shingle")))
@@ -395,16 +460,20 @@ def simhash_candidates(sims: DataFrame, max_hamming: int = 7,
                       "band_id", "band")
     b_ = banded.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sim_b"),
                        F.col("band_id").alias("band_id_b"), F.col("band").alias("band_b"))
-    cand = (
+    # hamming BEFORE the cross-band dedup: the filter is codegen per joined
+    # row, so the distinct exchange carries only surviving (narrow) rows
+    # instead of every bucket collision with both 64-bit sketches attached
+    return (
         a.join(b_, (F.col("band_id") == F.col("band_id_b")) & (F.col("band") == F.col("band_b"))
                & (F.col("doc_a") < F.col("doc_b")))
-        .select("doc_a", "doc_b", "sim_a", "sim_b")
+        .select(
+            "doc_a", "doc_b",
+            F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+            .cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
-    return cand.withColumn(
-        "hamming",
-        F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).cast("int"),
-    ).filter(F.col("hamming") <= max_hamming).select("doc_a", "doc_b", "hamming")
 
 
 def simhash_candidates_multiblock(
@@ -499,16 +568,20 @@ def simhash_candidates_multiblock(
                        F.col("simhash").alias("sim_b"),
                        F.col("table_id").alias("table_id_b"),
                        F.col("key").alias("key_b"))
-    cand = (
+    # hamming BEFORE the cross-table dedup (see simhash_candidates): with
+    # C(n_blocks, comb) tables a true near-dup collides in up to ALL of
+    # them, and uniform-occupancy noise adds ~est_uniform more — filtering
+    # first keeps both the multiplicity and the noise out of the distinct
+    # exchange, and drops the two 64-bit sketch columns from its rows
+    return (
         a.join(b_, (F.col("table_id") == F.col("table_id_b"))
                & (F.col("key") == F.col("key_b"))
                & (F.col("doc_a") < F.col("doc_b")))
-        .select("doc_a", "doc_b", "sim_a", "sim_b")
+        .select(
+            "doc_a", "doc_b",
+            F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+            .cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
         .distinct()
-    )
-    return cand.withColumn(
-        "hamming",
-        F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).cast("int"),
-    ).filter(F.col("hamming") <= max_hamming).select(
-        "doc_a", "doc_b", "hamming"
     )
