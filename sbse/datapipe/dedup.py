@@ -562,6 +562,19 @@ def simhash_candidates_multiblock(
         "simhash",
         F.posexplode(F.array(*keys)).alias("table_id", "key"),
     )
+    # Pre-partition the banded frame on the join keys so (a) the exchange
+    # is written ONCE and read by both self-join sides, and (b) the
+    # SHUFFLE_HASH build side is bounded: each task's hash map holds
+    # ~n_docs*len(combos)/parts rows (~300k target). The hash-map join
+    # cannot spill its build side — with the default 32 shuffle partitions
+    # it held 3.75M rows per task and OOMed the 8g local heap — but the
+    # partition count is exactly the knob a cluster already scales; AQE
+    # does not coalesce an explicit repartition count.
+    n_banded = sims.count() * len(combos)
+    default_parts = int(
+        sims.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    parts = max(default_parts, n_banded // 300_000 + 1)
+    banded = banded.repartition(parts, "table_id", "key")
     a = banded.select(F.col("doc_id").alias("doc_a"),
                       F.col("simhash").alias("sim_a"), "table_id", "key")
     b_ = banded.select(F.col("doc_id").alias("doc_b"),
@@ -572,9 +585,15 @@ def simhash_candidates_multiblock(
     # C(n_blocks, comb) tables a true near-dup collides in up to ALL of
     # them, and uniform-occupancy noise adds ~est_uniform more — filtering
     # first keeps both the multiplicity and the noise out of the distinct
-    # exchange, and drops the two 64-bit sketch columns from its rows
+    # exchange, and drops the two 64-bit sketch columns from its rows.
+    # SHUFFLE_HASH: the default SortMergeJoin sorts BOTH 120M-row banded
+    # sides (the two biggest stages of the operator); hash lookup needs no
+    # order, the ~20-bit keys hash-distribute uniformly, and the per-
+    # partition build size is total/shuffle.partitions — the knob that
+    # already scales with the cluster
     return (
-        a.join(b_, (F.col("table_id") == F.col("table_id_b"))
+        a.join(b_.hint("SHUFFLE_HASH"),
+               (F.col("table_id") == F.col("table_id_b"))
                & (F.col("key") == F.col("key_b"))
                & (F.col("doc_a") < F.col("doc_b")))
         .select(
