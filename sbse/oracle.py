@@ -648,4 +648,67 @@ FROM documents d JOIN s USING (doc_id)"""
 
     q["q32_frame_sample"] = _frame_sample_oracle()
 
+    # Curation ops (sbse.datapipe.curate) — contamination screen, shuffle-
+    # shard, stratified sample. Constants mirrored from curate.py.
+    from sbse.datapipe.curate import (
+        BENCH_STRIDE, CONTAM_NGRAM, DEFAULT_RATE, STRATA_RATES, _rate_hex4,
+    )
+
+    ng = CONTAM_NGRAM
+    gram_cols = " || ' ' || ".join(f"ws[i+{t}]" for t in range(ng))
+    q["q37_contamination"] = f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+g AS (
+  SELECT DISTINCT doc_id, {gram_cols} AS shingle
+  FROM w, unnest(generate_series(1, len(ws) - {ng - 1})) AS t(i)
+),
+bg AS (SELECT DISTINCT shingle FROM g WHERE doc_id % {BENCH_STRIDE} = 0),
+cg AS (SELECT * FROM g WHERE doc_id % {BENCH_STRIDE} <> 0),
+s AS (
+  SELECT cg.doc_id, count(*) AS n_grams,
+    CAST(count(bg.shingle) AS BIGINT) AS n_hits
+  FROM cg LEFT JOIN bg USING (shingle) GROUP BY cg.doc_id
+)
+SELECT doc_id, n_grams, n_hits,
+  CAST(n_hits AS DOUBLE) / n_grams AS contam_frac,
+  (CAST(n_hits AS DOUBLE) / n_grams) >= 0.05 AS contaminated
+FROM s"""
+
+    q["q38_shuffle_shard"] = """
+WITH d AS (
+  SELECT doc_id,
+    md5(concat('shard|', CAST(doc_id AS VARCHAR))) AS shuffle_key
+  FROM documents
+),
+s AS (
+  SELECT doc_id, shuffle_key,
+    CAST(strpos('0123456789abcdef', substr(shuffle_key, 1, 1)) - 1 AS INT)
+      AS shard_id
+  FROM d
+)
+SELECT doc_id, shuffle_key, shard_id,
+  CAST(row_number() OVER (
+    PARTITION BY shard_id ORDER BY shuffle_key, doc_id) AS BIGINT)
+    AS pos_in_shard
+FROM s"""
+
+    rate_case = " ".join(
+        f"WHEN '{lang}' THEN CAST({r} AS DOUBLE)"
+        for lang, r in STRATA_RATES.items()
+    )
+    thresh_case = " ".join(
+        f"WHEN '{lang}' THEN '{_rate_hex4(r)}'"
+        for lang, r in STRATA_RATES.items()
+    )
+    q["q39_stratified_sample"] = f"""
+WITH d AS (
+  SELECT doc_id, lang, source,
+    substr(md5(concat('samp|', CAST(doc_id AS VARCHAR))), 1, 4) AS samp_hex,
+    CASE lang {rate_case} ELSE CAST({DEFAULT_RATE} AS DOUBLE) END AS rate,
+    CASE lang {thresh_case} ELSE '{_rate_hex4(DEFAULT_RATE)}' END AS thresh
+  FROM documents
+)
+SELECT doc_id, lang, source, samp_hex, rate
+FROM d WHERE samp_hex < thresh"""
+
     return q

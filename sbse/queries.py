@@ -484,6 +484,36 @@ def q34_sessions_bigkey(spark, sf_dir):
     )
 
 
+def q37_contamination(spark, sf_dir):
+    """Benchmark-contamination screen (word 8-gram overlap against the
+    deterministic pseudo-benchmark subset doc_id % 97 == 0): broadcast the
+    benchmark gram set, left-join the corpus gram stream, one partial-agg
+    groupBy per doc. The curation step every LLM training pipeline runs
+    before a release (GPT-3 appendix C shape)."""
+    from sbse.datapipe import curate as cu
+
+    return cu.contamination_screen(_docs(spark, sf_dir))
+
+
+def q38_shuffle_shard(spark, sf_dir):
+    """Deterministic global shuffle + hash-range shard assignment for
+    training loaders: shuffle_key = md5(doc_id), shard = top hex nibble
+    (16 contiguous key ranges), pos_in_shard = rank within shard — the
+    logical twin of repartitionByRange + sortWithinPartitions."""
+    from sbse.datapipe import curate as cu
+
+    return cu.shuffle_shard(_docs(spark, sf_dir))
+
+
+def q39_stratified_sample(spark, sf_dir):
+    """Per-language deterministic Bernoulli sample (hash-threshold, map-only,
+    append-stable): mixture sampling with zero shuffles and no per-stratum
+    sort, so a billion-doc stratum is no hazard."""
+    from sbse.datapipe import curate as cu
+
+    return cu.stratified_sample(_docs(spark, sf_dir))
+
+
 def all_queries():
     return {
         "q01_decode": q01_decode,
@@ -522,4 +552,7 @@ def all_queries():
         "q34_sessions_bigkey": q34_sessions_bigkey,
         "q35_quantile_cascade": q35_quantile_cascade,
         "q36_simhash_multiblock": q36_simhash_multiblock,
+        "q37_contamination": q37_contamination,
+        "q38_shuffle_shard": q38_shuffle_shard,
+        "q39_stratified_sample": q39_stratified_sample,
     }

@@ -1,0 +1,88 @@
+"""Behavioral tests for sbse.datapipe.curate (the oracle parity test covers
+engine-vs-DuckDB equivalence; these pin the semantics themselves)."""
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from sbse.datapipe import curate as cu
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        [Row(doc_id=i, text=t, lang=lang, source="s0", n_chars=len(t))
+         for i, t, lang in rows]
+    )
+
+
+def test_contamination_planted_leak(spark):
+    # doc 0 is the benchmark (0 % 97 == 0); doc 5 copies a benchmark
+    # sentence verbatim, doc 6 shares no 8-gram.
+    leak = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    clean = "one two three four five six seven eight nine ten"
+    out = {
+        r["doc_id"]: r
+        for r in cu.contamination_screen(
+            _docs(spark, [(0, leak, "en"), (5, leak, "en"), (6, clean, "en")])
+        ).collect()
+    }
+    assert set(out) == {5, 6}  # benchmark doc excluded from the corpus
+    assert out[5]["n_hits"] == out[5]["n_grams"] > 0
+    assert out[5]["contaminated"] is True
+    assert out[6]["n_hits"] == 0 and out[6]["contaminated"] is False
+
+
+def test_contamination_short_docs_yield_no_rows(spark):
+    out = cu.contamination_screen(
+        _docs(spark, [(0, "a b c d e f g h i", "en"), (1, "too short", "en")])
+    ).collect()
+    assert out == []  # doc 1 has < 8 words -> no grams -> not screened
+
+
+def test_shuffle_shard_partition_and_order(spark):
+    docs = _docs(spark, [(i, "x", "en") for i in range(1, 300)])
+    out = cu.shuffle_shard(docs).collect()
+    assert len(out) == 299
+    for r in out:
+        # shard is the top nibble of the key -> range partitioning
+        assert r["shard_id"] == int(r["shuffle_key"][0], 16)
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r["shard_id"], []).append(r)
+    for rows in by_shard.values():
+        rows.sort(key=lambda r: r["pos_in_shard"])
+        assert [r["pos_in_shard"] for r in rows] == list(range(1, len(rows) + 1))
+        keys = [r["shuffle_key"] for r in rows]
+        assert keys == sorted(keys)  # loader order == shuffled-key order
+
+
+def test_shuffle_shard_two_nibbles(spark):
+    docs = _docs(spark, [(i, "x", "en") for i in range(1, 50)])
+    out = cu.shuffle_shard(docs, shard_nibbles=2).collect()
+    for r in out:
+        assert r["shard_id"] == int(r["shuffle_key"][:2], 16)
+
+
+def test_stratified_sample_append_stable_and_deterministic(spark):
+    rows = [(i, "doc text", ["en", "de", "fr"][i % 3]) for i in range(1, 400)]
+    full = cu.stratified_sample(_docs(spark, rows))
+    first = {r["doc_id"]: r for r in full.collect()}
+    again = {r["doc_id"]: r for r in full.collect()}
+    assert first == again  # deterministic
+    # append stability: sampling a prefix subset selects exactly the
+    # subset's members of the full sample — no reshuffling of decisions
+    prefix = {r["doc_id"] for r in
+              cu.stratified_sample(_docs(spark, rows[:200])).collect()}
+    assert prefix == {d for d in first if d <= rows[199][0]}
+    # per-stratum rates applied: en keeps ~2x the de rate
+    for r in first.values():
+        assert r["rate"] == {"en": 0.5, "de": 0.25, "fr": 0.125}[r["lang"]]
+        assert r["samp_hex"] < cu._rate_hex4(r["rate"])
+
+
+def test_stratified_sample_rate_zero_and_one(spark):
+    rows = [(i, "t", "en") for i in range(1, 100)]
+    none = cu.stratified_sample(_docs(spark, rows), rates={"en": 0.0})
+    assert none.count() == 0
+    everything = cu.stratified_sample(_docs(spark, rows), rates={"en": 1.0})
+    assert everything.count() == 99
