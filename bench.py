@@ -64,6 +64,9 @@ HEADLINE = [
     "q34_sessions_bigkey",
     "q35_quantile_cascade",
     "q36_simhash_multiblock",
+    "q37_contamination",
+    "q38_shuffle_shard",
+    "q39_stratified_sample",
 ]
 
 
