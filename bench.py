@@ -67,6 +67,7 @@ HEADLINE = [
     "q37_contamination",
     "q38_shuffle_shard",
     "q39_stratified_sample",
+    "q40_pack_sequences",
 ]
 
 

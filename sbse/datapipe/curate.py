@@ -111,7 +111,8 @@ def contamination_screen(
     )
 
 
-def shuffle_shard(docs: DataFrame, shard_nibbles: int = 1) -> DataFrame:
+def shuffle_shard(docs: DataFrame, shard_nibbles: int = 1,
+                  carry: tuple[str, ...] = ()) -> DataFrame:
     """Deterministic global shuffle + shard assignment for training loaders.
 
     Every document gets a ``shuffle_key`` (md5 of its id — a uniform
@@ -130,10 +131,7 @@ def shuffle_shard(docs: DataFrame, shard_nibbles: int = 1) -> DataFrame:
     logical assignment.
     """
     key = F.md5(F.concat(F.lit("shard|"), F.col("doc_id").cast("string")))
-    d = docs.select(
-        "doc_id",
-        key.alias("shuffle_key"),
-    )
+    d = docs.select("doc_id", key.alias("shuffle_key"), *carry)
     # integer value of the first `shard_nibbles` hex digits, built from
     # per-digit position lookups (portable: DuckDB mirrors with strpos).
     shard = F.lit(0)
@@ -147,6 +145,51 @@ def shuffle_shard(docs: DataFrame, shard_nibbles: int = 1) -> DataFrame:
         "shuffle_key",
         "shard_id",
         F.row_number().over(w).cast("bigint").alias("pos_in_shard"),
+        *carry,
+    )
+
+
+def pack_sequences(docs: DataFrame, seq_len: int = 512,
+                   shard_nibbles: int = 1) -> DataFrame:
+    """Concat-and-chunk sequence-packing manifest (GPT-style pretraining):
+    documents are laid end-to-end in shuffled order within each shard and
+    cut into fixed ``seq_len``-token training sequences, documents spanning
+    cut points (the standard packing that wastes zero tokens).
+
+    Per document: its shard, its token count (the whitespace+digit BPE-ish
+    regex count from text.py), the cumulative token offset where it starts
+    within the shard stream, and the first/last sequence ids it lands in
+    (``seq_first == seq_last`` iff the doc fits inside one sequence).
+
+    100 TB shape: one window cumsum per shard (the same bounded partitioning
+    as shuffle_shard's rank — raise ``shard_nibbles`` until a shard fits an
+    executor); everything else is map-side arithmetic. A loader materializes
+    sequence s of shard k by scanning docs with
+    ``seq_first <= s <= seq_last`` — a range predicate parquet row-group
+    stats prune once the manifest is written sorted by (shard_id,
+    start_offset).
+    """
+    toks = F.regexp_count(F.col("text"), F.lit("[a-z]+|[0-9]+")).cast("bigint")
+    d = shuffle_shard(
+        docs.select("doc_id", toks.alias("n_tok")), shard_nibbles,
+        carry=("n_tok",),
+    )
+    w = (
+        Window.partitionBy("shard_id")
+        .orderBy("shuffle_key", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start = (F.sum("n_tok").over(w) - F.col("n_tok")).alias("start_offset")
+    d = d.select("doc_id", "shard_id", "pos_in_shard", "n_tok", start)
+    return d.select(
+        "doc_id", "shard_id", "pos_in_shard", "n_tok", "start_offset",
+        F.floor(F.col("start_offset") / seq_len).cast("bigint").alias("seq_first"),
+        # empty docs (n_tok = 0) occupy no tokens: they "land" in the
+        # sequence their offset points at, so last == first.
+        F.floor(
+            (F.col("start_offset") + F.greatest(F.col("n_tok"), F.lit(1)) - 1)
+            / seq_len
+        ).cast("bigint").alias("seq_last"),
     )
 
 

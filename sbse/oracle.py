@@ -711,4 +711,33 @@ WITH d AS (
 SELECT doc_id, lang, source, samp_hex, rate
 FROM d WHERE samp_hex < thresh"""
 
+    q["q40_pack_sequences"] = """
+WITH d AS (
+  SELECT doc_id,
+    md5(concat('shard|', CAST(doc_id AS VARCHAR))) AS shuffle_key,
+    CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS BIGINT) AS n_tok
+  FROM documents
+),
+s AS (
+  SELECT doc_id, shuffle_key, n_tok,
+    CAST(strpos('0123456789abcdef', substr(shuffle_key, 1, 1)) - 1 AS INT)
+      AS shard_id
+  FROM d
+),
+p AS (
+  SELECT doc_id, shard_id,
+    CAST(row_number() OVER w AS BIGINT) AS pos_in_shard,
+    n_tok,
+    CAST(sum(n_tok) OVER (
+      PARTITION BY shard_id ORDER BY shuffle_key, doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok AS BIGINT)
+      AS start_offset
+  FROM s
+  WINDOW w AS (PARTITION BY shard_id ORDER BY shuffle_key, doc_id)
+)
+SELECT doc_id, shard_id, pos_in_shard, n_tok, start_offset,
+  CAST(start_offset // 512 AS BIGINT) AS seq_first,
+  CAST((start_offset + greatest(n_tok, 1) - 1) // 512 AS BIGINT) AS seq_last
+FROM p"""
+
     return q

@@ -514,6 +514,16 @@ def q39_stratified_sample(spark, sf_dir):
     return cu.stratified_sample(_docs(spark, sf_dir))
 
 
+def q40_pack_sequences(spark, sf_dir):
+    """Concat-and-chunk sequence-packing manifest (GPT-style pretraining):
+    docs laid end-to-end in shuffled order per shard, cut into 512-token
+    sequences, docs spanning cut points. One window cumsum per shard; all
+    else map-side."""
+    from sbse.datapipe import curate as cu
+
+    return cu.pack_sequences(_docs(spark, sf_dir), seq_len=512)
+
+
 def all_queries():
     return {
         "q01_decode": q01_decode,
@@ -555,4 +565,5 @@ def all_queries():
         "q37_contamination": q37_contamination,
         "q38_shuffle_shard": q38_shuffle_shard,
         "q39_stratified_sample": q39_stratified_sample,
+        "q40_pack_sequences": q40_pack_sequences,
     }

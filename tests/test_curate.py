@@ -80,6 +80,34 @@ def test_stratified_sample_append_stable_and_deterministic(spark):
         assert r["samp_hex"] < cu._rate_hex4(r["rate"])
 
 
+def test_pack_sequences_contiguous_stream(spark):
+    docs = _docs(spark, [(i, " ".join(["tok"] * (i % 7 + 1)), "en")
+                         for i in range(1, 200)])
+    out = cu.pack_sequences(docs, seq_len=16).collect()
+    assert len(out) == 199
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r["shard_id"], []).append(r)
+    for rows in by_shard.values():
+        rows.sort(key=lambda r: r["pos_in_shard"])
+        # docs are laid end-to-end: each starts where the previous ended
+        off = 0
+        for r in rows:
+            assert r["start_offset"] == off
+            off += r["n_tok"]
+            assert r["seq_first"] == r["start_offset"] // 16
+            last_tok = r["start_offset"] + max(r["n_tok"], 1) - 1
+            assert r["seq_last"] == last_tok // 16
+            assert r["seq_last"] >= r["seq_first"]
+
+
+def test_pack_sequences_empty_doc_spans_nothing(spark):
+    docs = _docs(spark, [(1, "", "en"), (2, "a b c", "en")])
+    out = {r["doc_id"]: r for r in cu.pack_sequences(docs, seq_len=4).collect()}
+    assert out[1]["n_tok"] == 0
+    assert out[1]["seq_first"] == out[1]["seq_last"]
+
+
 def test_stratified_sample_rate_zero_and_one(spark):
     rows = [(i, "t", "en") for i in range(1, 100)]
     none = cu.stratified_sample(_docs(spark, rows), rates={"en": 0.0})
