@@ -203,6 +203,25 @@ def main() -> None:
         )
         res["band_stats"]["minhash_max_shingle_df_after_cap"] = int(mh_bucket)
 
+    # --- curation ops at corpus scale: contamination screen (broadcast
+    # benchmark grams vs a 45M-gram corpus stream) and the packing manifest
+    # (one window per 16**2 = 256 shards).
+    if _stage_on("curate_contamination") or _stage_on("curate_pack_sequences"):
+        from sbse.datapipe import curate as cu
+    if _stage_on("curate_contamination"):
+        n_ct = timed(
+            "curate_contamination",
+            lambda: cu.contamination_screen(docs).count(),
+        )
+        res["stages_out"]["contamination_docs"] = n_ct
+    if _stage_on("curate_pack_sequences"):
+        n_pk = timed(
+            "curate_pack_sequences",
+            lambda: cu.pack_sequences(docs, seq_len=2048,
+                                      shard_nibbles=2).count(),
+        )
+        res["stages_out"]["packed_docs"] = n_pk
+
     res["host_steal_pct"] = {"min": min(steals), "max": max(steals)}
     res["cpus"] = os.cpu_count()
     line = json.dumps(res)
