@@ -68,6 +68,8 @@ HEADLINE = [
     "q38_shuffle_shard",
     "q39_stratified_sample",
     "q40_pack_sequences",
+    "q41_counter_increase",
+    "q42_counter_cascade",
 ]
 
 

@@ -154,6 +154,28 @@ FROM m GROUP BY source, key"""
     q["q34_sessions_bigkey"] = q["q04_sessions_gap30"]
     q["q05_sessions_gap300"] = p300 + _SESSION_SELECT.format(ended_at="max(ts)")
 
+    # Reset-aware counter increase (PromQL increase() analog): the lag
+    # chain is global per (source, key); buckets sum the contributions.
+    # q41 = hourly from raw; q42's engine path goes THROUGH the mergeable
+    # hourly tier (counter_cascade), while its oracle computes the day
+    # grain directly from raw — equality proves lossless tier merging.
+    _COUNTER_INC = """
+SELECT source, key, bucket_start,
+  count(*) AS n_samples,
+  CAST(sum(CASE WHEN prev_tok IS NULL THEN 0
+                WHEN n_tok >= prev_tok THEN n_tok - prev_tok
+                ELSE n_tok END) AS BIGINT) AS tok_increase,
+  CAST(sum(CASE WHEN prev_tok IS NOT NULL AND n_tok < prev_tok
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_resets
+FROM (
+  SELECT source, key, date_trunc('{unit}', ts) AS bucket_start, n_tok,
+    lag(n_tok) OVER (PARTITION BY source, key ORDER BY ord) AS prev_tok
+  FROM o
+)
+GROUP BY source, key, bucket_start"""
+    q["q41_counter_increase"] = p30 + _COUNTER_INC.format(unit="hour")
+    q["q42_counter_cascade"] = p30 + _COUNTER_INC.format(unit="day")
+
     q["q06_rollup_1m"] = p30 + _ROLLUP_FROM_STATES.format(unit="minute")
     q["q07_rollup_1h"] = p30 + _ROLLUP_FROM_STATES.format(unit="hour")
     q["q08_rollup_1d"] = p30 + _ROLLUP_FROM_STATES.format(unit="day")

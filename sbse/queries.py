@@ -524,6 +524,27 @@ def q40_pack_sequences(spark, sf_dir):
     return cu.pack_sequences(_docs(spark, sf_dir), seq_len=512)
 
 
+def q41_counter_increase(spark, sf_dir):
+    """Reset-aware counter increase per (source, key, hour): the PromQL
+    increase() / TimescaleDB counter_agg analog over the n_tok stream
+    (one per-key window + one partial-agg groupBy)."""
+    from sbse.rollup import counter_increase
+
+    return counter_increase(states_only(_decoded(spark, sf_dir)), "hour")
+
+
+def q42_counter_cascade(spark, sf_dir):
+    """Daily counter increase computed THROUGH the mergeable hourly tier
+    (counter_cascade re-sums 1h -> 1d; valid because the lag chain is
+    global per key). The oracle computes day-grain increase directly from
+    raw states — equality proves the counter tier merges losslessly."""
+    from sbse.rollup import counter_cascade, counter_increase
+
+    return counter_cascade(
+        counter_increase(states_only(_decoded(spark, sf_dir)), "hour"), "day"
+    )
+
+
 def all_queries():
     return {
         "q01_decode": q01_decode,
@@ -566,4 +587,6 @@ def all_queries():
         "q38_shuffle_shard": q38_shuffle_shard,
         "q39_stratified_sample": q39_stratified_sample,
         "q40_pack_sequences": q40_pack_sequences,
+        "q41_counter_increase": q41_counter_increase,
+        "q42_counter_cascade": q42_counter_cascade,
     }

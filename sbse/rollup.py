@@ -77,6 +77,63 @@ def cascade(tier: DataFrame, unit: str) -> DataFrame:
     )
 
 
+def counter_increase(states: DataFrame, unit: str = "hour") -> DataFrame:
+    """Reset-aware counter increase per (source, key, bucket) — the
+    PromQL ``increase()`` / TimescaleDB ``counter_agg`` analog over the
+    n_tok stream.
+
+    Per key in arrival order (ord_col — same (ts, seq) order as every other
+    operator): a sample's contribution is ``n_tok - lag(n_tok)`` when
+    non-negative, or ``n_tok`` after a counter reset (the counter restarted
+    from 0, so its current value is the visible increase); a key's first
+    sample contributes 0 (no baseline). The lag chain is GLOBAL per key —
+    it crosses bucket boundaries — which is exactly what makes the
+    per-bucket sums mergeable: increase(1d) == sum of its hours'
+    increase(1h), the invariant counter_cascade relies on and q42's oracle
+    checks against a direct day-grain computation from raw.
+
+    100 TB: one window per (source, key) (the monster-key insurance for a
+    pathological key is the sbse.bigkey chunked-window pattern), then one
+    partial-agg groupBy.
+    """
+    w = Window.partitionBy("source", "key").orderBy("ord")
+    e = states.withColumn("ord", ord_col())
+    prev = F.lag("n_tok").over(w)
+    e = e.withColumn("_prev", prev).withColumn(
+        "bucket_start", F.date_trunc(unit, F.col("ts"))
+    )
+    inc = (
+        F.when(F.col("_prev").isNull(), F.lit(0))
+        .when(F.col("n_tok") >= F.col("_prev"), F.col("n_tok") - F.col("_prev"))
+        .otherwise(F.col("n_tok"))
+    )
+    reset = F.when(
+        F.col("_prev").isNotNull() & (F.col("n_tok") < F.col("_prev")), 1
+    ).otherwise(0)
+    e = e.withColumn("_inc", inc).withColumn("_reset", reset)
+    return e.groupBy("source", "key", "bucket_start").agg(
+        F.count(F.lit(1)).alias("n_samples"),
+        F.sum("_inc").cast("bigint").alias("tok_increase"),
+        F.sum("_reset").cast("bigint").alias("n_resets"),
+    )
+
+
+def counter_cascade(tier: DataFrame, unit: str) -> DataFrame:
+    """Merge a finer counter-increase tier into a coarser one (1h -> 1d):
+    pure re-summation, valid because the lag chain in counter_increase is
+    global per key."""
+    return (
+        tier.withColumn("parent", F.date_trunc(unit, F.col("bucket_start")))
+        .groupBy("source", "key", "parent")
+        .agg(
+            F.sum("n_samples").cast("bigint").alias("n_samples"),
+            F.sum("tok_increase").cast("bigint").alias("tok_increase"),
+            F.sum("n_resets").cast("bigint").alias("n_resets"),
+        )
+        .withColumnRenamed("parent", "bucket_start")
+    )
+
+
 def gapfill_locf(tier: DataFrame, unit: str = "minute") -> DataFrame:
     """time_bucket_gapfill + locf analog (TimescaleDB; SURVEY.md §2.5 W5).
 

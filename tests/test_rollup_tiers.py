@@ -231,3 +231,37 @@ def test_gapfill_two_level_spine_multiyear(spark):
         F.col("bucket_start") == F.to_timestamp(F.lit("2024-01-01 00:00:00"))
     ).collect()[0]
     assert row.is_gap and row.last_ntok_locf == 7
+
+
+def test_counter_increase_reset_semantics(spark):
+    """PromQL increase(): monotone deltas sum; a drop is a reset and
+    contributes the post-reset value; first sample contributes 0; the lag
+    chain crosses bucket boundaries."""
+    import datetime as dt
+
+    from sbse.rollup import counter_cascade, counter_increase
+
+    def row(sec, n_tok, seq):
+        return {"source": "s", "key": 7,
+                "ts": dt.datetime(2024, 1, 1, 0, 0, 0) + dt.timedelta(
+                    seconds=sec),
+                "seq": seq, "n_tok": n_tok}
+
+    # hour 0: 10 -> 15 (+5) -> 3 (reset: +3); hour 1: 8 (+5 across boundary)
+    states = spark.createDataFrame([
+        row(0, 10, 1), row(10, 15, 2), row(20, 3, 3), row(3600, 8, 4),
+    ])
+    out = {r["bucket_start"].hour: r
+           for r in counter_increase(states, "hour").collect()}
+    assert out[0]["tok_increase"] == 5 + 3
+    assert out[0]["n_resets"] == 1
+    assert out[0]["n_samples"] == 3
+    assert out[1]["tok_increase"] == 5  # 8 - 3, lag crosses the boundary
+    assert out[1]["n_resets"] == 0
+
+    # cascade: day == sum of hours (lossless merge)
+    day = counter_cascade(counter_increase(states, "hour"), "day").collect()
+    assert len(day) == 1
+    assert day[0]["tok_increase"] == 13
+    assert day[0]["n_samples"] == 4
+    assert day[0]["n_resets"] == 1
