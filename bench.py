@@ -70,6 +70,7 @@ HEADLINE = [
     "q40_pack_sequences",
     "q41_counter_increase",
     "q42_counter_cascade",
+    "q43_counter_bigkey",
 ]
 
 

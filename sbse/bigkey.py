@@ -232,6 +232,52 @@ def sessionize_chunked(
                   "_prevT", "_gmax")
 
 
+def counter_increase_chunked(states: DataFrame, unit: str = "hour",
+                             chunk_ms: int = CHUNK_MS_DEFAULT) -> DataFrame:
+    """Monster-key twin of rollup.counter_increase; output is exactly equal
+    (oracle-checked as q43 against q41's SQL).
+
+    A counter's only cross-chunk state is the LAST sample value, so the
+    stitch is the lightest of the chunked twins: Phase 1 lags n_tok within
+    the bounded (source, key, chunk) window; Phase 2 summarizes each
+    populated chunk's final n_tok (max_by over arrival order) and lags it
+    one populated chunk back — the carry-in; Phase 3 broadcasts the carry
+    table (1e4..1e6x smaller than events) back, and each chunk's first
+    sample uses coalesce(local lag, carry) as its baseline (null for the
+    key's first chunk -> contributes 0, same as the plain path). Then the
+    identical reset-aware increase math and one partial-agg groupBy.
+    """
+    e = _with_chunk(states, chunk_ms).withColumn("_ord", ord_col())
+    wc = Window.partitionBy(*KEY_COLS, "_chunk").orderBy("ts", "seq")
+    e = e.withColumn("_prev_loc", F.lag("n_tok").over(wc))
+    e = e.localCheckpoint(eager=False)
+    summ = e.groupBy(*KEY_COLS, "_chunk").agg(
+        F.expr("max_by(n_tok, _ord)").alias("_fin")
+    )
+    ws = Window.partitionBy(*KEY_COLS).orderBy("_chunk")
+    carry = summ.select(
+        *KEY_COLS, "_chunk", F.lag("_fin").over(ws).alias("_carry")
+    )
+    j = e.join(F.broadcast(carry), [*KEY_COLS, "_chunk"])
+    prev = F.coalesce(F.col("_prev_loc"), F.col("_carry"))
+    inc = (
+        F.when(prev.isNull(), F.lit(0))
+        .when(F.col("n_tok") >= prev, F.col("n_tok") - prev)
+        .otherwise(F.col("n_tok"))
+    )
+    reset = F.when(prev.isNotNull() & (F.col("n_tok") < prev), 1).otherwise(0)
+    j = (
+        j.withColumn("_inc", inc)
+        .withColumn("_reset", reset)
+        .withColumn("bucket_start", F.date_trunc(unit, F.col("ts")))
+    )
+    return j.groupBy(*KEY_COLS, "bucket_start").agg(
+        F.count(F.lit(1)).alias("n_samples"),
+        F.sum("_inc").cast("bigint").alias("tok_increase"),
+        F.sum("_reset").cast("bigint").alias("n_resets"),
+    )
+
+
 def session_rollup_agg(sess_events: DataFrame) -> DataFrame:
     """A1 twin of ``session_rollup`` as a pure groupBy — every aggregate is
     partial-aggregatable (map-side combine), so a monster session reduces to

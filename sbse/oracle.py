@@ -175,6 +175,9 @@ FROM (
 GROUP BY source, key, bucket_start"""
     q["q41_counter_increase"] = p30 + _COUNTER_INC.format(unit="hour")
     q["q42_counter_cascade"] = p30 + _COUNTER_INC.format(unit="day")
+    # q43 is the monster-key chunked engine path; its contract is exact
+    # equality with the plain window path, so its oracle IS q41's SQL.
+    q["q43_counter_bigkey"] = q["q41_counter_increase"]
 
     q["q06_rollup_1m"] = p30 + _ROLLUP_FROM_STATES.format(unit="minute")
     q["q07_rollup_1h"] = p30 + _ROLLUP_FROM_STATES.format(unit="hour")

@@ -545,6 +545,17 @@ def q42_counter_cascade(spark, sf_dir):
     )
 
 
+def q43_counter_bigkey(spark, sf_dir):
+    """Monster-key-safe counter increase (chunked lag + last-value carry
+    stitch, sbse.bigkey): every window partition bounded by (source, key,
+    2-minute chunk). Must equal q41 exactly — the oracle IS q41's SQL."""
+    from sbse.bigkey import counter_increase_chunked
+
+    return counter_increase_chunked(
+        states_only(_decoded(spark, sf_dir)), unit="hour", chunk_ms=120_000
+    )
+
+
 def all_queries():
     return {
         "q01_decode": q01_decode,
@@ -589,4 +600,5 @@ def all_queries():
         "q40_pack_sequences": q40_pack_sequences,
         "q41_counter_increase": q41_counter_increase,
         "q42_counter_cascade": q42_counter_cascade,
+        "q43_counter_bigkey": q43_counter_bigkey,
     }

@@ -146,3 +146,91 @@ def stateful_sessions(states: DataFrame, gap_ms: int = GAP_MS_NORTH,
             GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+COUNTER_OUT_SCHEMA = ("source string, key bigint, bucket_start timestamp, "
+                      "n_samples bigint, tok_increase bigint, n_resets bigint")
+COUNTER_STATE_SCHEMA = "last_tok bigint, last_ts_ms bigint"
+
+_UNIT_MS = {"minute": 60_000, "hour": 3_600_000, "day": 86_400_000}
+
+
+def stateful_counter_increase(states: DataFrame, unit: str = "hour",
+                              watermark: str = "1 second") -> DataFrame:
+    """Streaming skin of rollup.counter_increase: reset-aware per-key
+    counter deltas, emitted as per-(key, bucket, microbatch) PARTIAL sums.
+
+    The group state is the lightest possible — the key's last n_tok (the
+    counter baseline) plus its event time for the out-of-order guard. Each
+    microbatch sorts its rows, takes the baseline from state, computes the
+    reset-aware increases vectorized (numpy), and emits one row per bucket
+    touched IN THIS BATCH. Because counter increases are purely mergeable
+    (the same invariant q42 proves for the batch tier), a bucket spanning
+    microbatches simply emits several partials whose SUM equals the batch
+    operator's row — downstream sinks fold them with the identical
+    re-summation counter_cascade uses; test_streaming_stateful asserts
+    row-for-row equality with rollup.counter_increase after that fold.
+
+    Like stateful_sessions, per-key event-time order across microbatches is
+    assumed (file/NATS replay shape) and ENFORCED — an older row raises.
+    State never expires (NoTimeout): a counter baseline must survive idle
+    periods, because expiring it would turn the key's next sample into a
+    fresh start (contributing 0 instead of the true delta) — the Redis-TTL
+    lifecycle that fits sessions corrupts counters. One bigint per key is
+    cheap enough to hold indefinitely at any realistic key cardinality.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    unit_ms = _UNIT_MS[unit]
+
+    def fn(key, pdfs, state):
+        import numpy as np
+        import pandas as pd
+
+        source, k = key
+        pdf = pd.concat(list(pdfs), ignore_index=True).sort_values(
+            ["ts", "seq"])
+        ts = pdf["ts"].to_numpy().astype("datetime64[ms]").astype("int64")
+        tok = pdf["n_tok"].to_numpy().astype("int64")
+
+        if state.exists:
+            last_tok, last_ms = state.get
+            if int(ts[0]) < last_ms:
+                raise ValueError(
+                    f"out-of-order replay for key ({source}, {k}): batch "
+                    f"starts at {int(ts[0])} ms but state is at {last_ms} "
+                    f"ms; re-run through the batch counter_increase"
+                )
+            prev = np.concatenate(([last_tok], tok[:-1]))
+            inc = np.where(tok >= prev, tok - prev, tok)
+            resets = (tok < prev).astype("int64")
+        else:
+            prev = np.concatenate(([0], tok[:-1]))
+            inc = np.where(tok >= prev, tok - prev, tok)
+            resets = (tok < prev).astype("int64")
+            inc[0] = 0  # first sample ever: no baseline
+            resets[0] = 0
+
+        bucket = (ts // unit_ms) * unit_ms
+        out = (
+            pd.DataFrame({"b": bucket, "inc": inc, "r": resets})
+            .groupby("b", as_index=False)
+            .agg(n_samples=("inc", "size"), tok_increase=("inc", "sum"),
+                 n_resets=("r", "sum"))
+        )
+        out["source"] = source
+        out["key"] = k
+        out["bucket_start"] = pd.to_datetime(out.pop("b"), unit="ms")
+        state.update((int(tok[-1]), int(ts[-1])))
+        return iter([out[["source", "key", "bucket_start", "n_samples",
+                          "tok_increase", "n_resets"]]])
+
+    return (
+        states.select("source", "key", "ts", "seq", "n_tok")
+        .withWatermark("ts", watermark)
+        .groupBy("source", "key")
+        .applyInPandasWithState(
+            fn, COUNTER_OUT_SCHEMA, COUNTER_STATE_SCHEMA, "append",
+            GroupStateTimeout.NoTimeout,
+        )
+    )

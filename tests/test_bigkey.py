@@ -169,3 +169,39 @@ def test_pipeline_bigkey_mode_equals_plain(spark):
                        bigkey_chunk_ms=120_000)
     for table in ("sessions", "rollup_1m", "rollup_1d", "gapfill_1h"):
         assert _sym_diff(plain[table], big[table]) == 0, table
+
+
+def test_counter_chunked_equals_plain_across_boundaries(spark):
+    """Counter resets and increases that straddle chunk boundaries stitch
+    exactly: the chunked twin equals rollup.counter_increase row-for-row,
+    including a key whose only reset is the first sample of a chunk."""
+    import datetime as dt
+
+    from sbse.bigkey import counter_increase_chunked
+    from sbse.rollup import counter_increase
+
+    def row(key, sec, n_tok, seq):
+        return {"source": "s", "key": key,
+                "ts": dt.datetime(2024, 1, 1) + dt.timedelta(seconds=sec),
+                "seq": seq, "n_tok": n_tok}
+
+    rows = []
+    # key 1: monotone ramp crossing many 10s chunks
+    rows += [row(1, i * 7, 10 + i, i) for i in range(40)]
+    # key 2: reset exactly at a chunk boundary (sec=20 with chunk_ms=10s)
+    rows += [row(2, 0, 50, 100), row(2, 10, 60, 101),
+             row(2, 20, 5, 102), row(2, 30, 6, 103)]
+    # key 3: single sample (no baseline, contributes 0)
+    rows += [row(3, 5, 99, 200)]
+    states = spark.createDataFrame(rows)
+
+    plain = {tuple(sorted(r.asDict().items()))
+             for r in counter_increase(states, "minute").collect()}
+    chunked = {tuple(sorted(r.asDict().items()))
+               for r in counter_increase_chunked(
+                   states, "minute", chunk_ms=10_000).collect()}
+    assert plain == chunked
+    # sanity on the boundary reset: key 2's minute-0 increase is 10 + 5
+    k2 = [dict(t) for t in plain if dict(t)["key"] == 2]
+    assert sum(r["tok_increase"] for r in k2) == 10 + 5 + 1
+    assert sum(r["n_resets"] for r in k2) == 1

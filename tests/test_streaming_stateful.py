@@ -250,3 +250,79 @@ def test_boundary_storm_multi_batch_straddle_with_ttl_interleaving(
     # the straddler really is one 12-event session spanning all four files
     a_sessions = [g for g in got if g[2] == 1]
     assert len(a_sessions) == 1 and a_sessions[0][5] == 12
+
+
+def test_stateful_counter_increase_partials_fold_to_batch(spark, tmp_path):
+    """Stream the counter stream in 4 microbatches; the emitted
+    per-(key, bucket, batch) partials, re-summed per bucket (the same fold
+    counter_cascade uses), equal rollup.counter_increase row-for-row —
+    including a reset that lands exactly on a microbatch boundary."""
+    import datetime as dt
+
+    from sbse.rollup import counter_increase
+    from sbse.streaming.stateful import stateful_counter_increase
+
+    def row(key, sec, n_tok, seq):
+        return ("s", key, str(dt.datetime(2024, 1, 1) +
+                              dt.timedelta(seconds=sec)), seq, n_tok)
+
+    rows = []
+    rows += [row(1, i * 40, 10 + 3 * i, i) for i in range(12)]  # ramp, 8 min
+    rows += [row(2, 0, 100, 50), row(2, 60, 7, 51),   # reset in minute 1
+             row(2, 200, 9, 52), row(2, 400, 2, 53)]  # second reset
+    rows += [row(4, 65, 20, 60), row(4, 66, 4, 61)]   # same-minute pair
+    rows.sort(key=lambda r: (r[2], r[3]))
+
+    ddl = "source string, key bigint, ts timestamp, seq bigint, n_tok bigint"
+    batch_df = spark.createDataFrame(
+        [(s, k, dt.datetime.fromisoformat(t), q, n) for s, k, t, q, n in rows],
+        ddl)
+    want = {(r.source, r.key, str(r.bucket_start), r.n_samples,
+             r.tok_increase, r.n_resets)
+            for r in counter_increase(batch_df, "minute").collect()}
+
+    # split so a batch boundary falls INSIDE key 4's same-minute pair (and
+    # inside its reset): the fold across microbatch partials is then load-
+    # bearing, not vacuous
+    cut = next(i for i in range(1, len(rows))
+               if rows[i - 1][1] == rows[i][1] == 4
+               and rows[i - 1][2][:16] == rows[i][2][:16])
+    rest = rows[cut:]
+    quarters = [rows[:cut]] + [rest[len(rest) * j // 3:
+                                    len(rest) * (j + 1) // 3]
+                               for j in range(3)]
+    src_dir = tmp_path / "cstream"
+    src_dir.mkdir()
+    for i, chunk in enumerate(quarters):
+        df = spark.createDataFrame(
+            [(s, k, dt.datetime.fromisoformat(t), q, n)
+             for s, k, t, q, n in chunk], ddl)
+        p = str(src_dir / f"f{i}")
+        df.coalesce(1).write.parquet(p)
+        for root, _, files in os.walk(p):
+            for f in files:
+                os.utime(os.path.join(root, f),
+                         (1_700_000_000 + i, 1_700_000_000 + i))
+
+    stream = (
+        spark.readStream.schema(ddl)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src_dir))
+    )
+    out = stateful_counter_increase(stream, unit="minute")
+    q = (out.writeStream.format("memory").queryName("stateful_counter")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    folded = spark.sql("""
+        SELECT source, key, bucket_start,
+               CAST(sum(n_samples) AS BIGINT) AS n_samples,
+               CAST(sum(tok_increase) AS BIGINT) AS tok_increase,
+               CAST(sum(n_resets) AS BIGINT) AS n_resets
+        FROM stateful_counter GROUP BY source, key, bucket_start""")
+    got = {(r.source, r.key, str(r.bucket_start), r.n_samples,
+            r.tok_increase, r.n_resets) for r in folded.collect()}
+    assert got == want
+    # the partials are non-trivial: at least one bucket spans microbatches
+    n_partials = spark.sql("SELECT count(*) FROM stateful_counter").first()[0]
+    assert n_partials > len(want) or len(quarters) == 1
