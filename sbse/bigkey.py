@@ -258,24 +258,16 @@ def counter_increase_chunked(states: DataFrame, unit: str = "hour",
     carry = summ.select(
         *KEY_COLS, "_chunk", F.lag("_fin").over(ws).alias("_carry")
     )
+    from sbse.rollup import counter_aggs, counter_exprs
+
     j = e.join(F.broadcast(carry), [*KEY_COLS, "_chunk"])
-    prev = F.coalesce(F.col("_prev_loc"), F.col("_carry"))
-    inc = (
-        F.when(prev.isNull(), F.lit(0))
-        .when(F.col("n_tok") >= prev, F.col("n_tok") - prev)
-        .otherwise(F.col("n_tok"))
-    )
-    reset = F.when(prev.isNotNull() & (F.col("n_tok") < prev), 1).otherwise(0)
+    inc, reset = counter_exprs(F.coalesce(F.col("_prev_loc"), F.col("_carry")))
     j = (
         j.withColumn("_inc", inc)
         .withColumn("_reset", reset)
         .withColumn("bucket_start", F.date_trunc(unit, F.col("ts")))
     )
-    return j.groupBy(*KEY_COLS, "bucket_start").agg(
-        F.count(F.lit(1)).alias("n_samples"),
-        F.sum("_inc").cast("bigint").alias("tok_increase"),
-        F.sum("_reset").cast("bigint").alias("n_resets"),
-    )
+    return j.groupBy(*KEY_COLS, "bucket_start").agg(*counter_aggs())
 
 
 def session_rollup_agg(sess_events: DataFrame) -> DataFrame:

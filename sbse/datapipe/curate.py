@@ -11,8 +11,11 @@ Scale notes (100 TB):
 
 * Contamination joins the corpus n-gram stream against the BENCHMARK n-gram
   set. Benchmarks are tiny relative to a training corpus (MBs vs TBs), so the
-  benchmark side is broadcast — the corpus side never shuffles; the only
-  exchange is the per-document groupBy, which partial-aggregates map-side.
+  benchmark side is broadcast — the corpus side never shuffles ON THE GRAM
+  KEY. It does pay two exchanges of narrow rows: the per-doc distinct of
+  (doc_id, shingle) and the per-document groupBy (both partial-aggregate
+  map-side); measured together at 6.15s per 1M docs / ~45M grams
+  (BENCH/datapipe_runs.jsonl).
 * Shuffle-sharding is map-only for the shard assignment (the shard id is the
   top hex nibble(s) of the per-doc md5 — i.e. static hash-RANGE partitioning
   of the shuffled key space) plus ONE bounded per-shard window for the
@@ -56,10 +59,14 @@ def _word_ngrams(docs: DataFrame, n: int) -> DataFrame:
     Reuses dedup.raw_shingles — the explode(sequence) + concat_ws codegen
     shape (measured 17x faster than the interpreted higher-order-function
     alternative, see its docstring) — with short docs yielding no rows,
-    mirroring the oracle's empty generate_series.
+    mirroring the oracle's empty generate_series. Tolerates frames without
+    a lang column (raw_shingles carries one for dedup's lang-scoped joins;
+    the contamination contract is just (doc_id, text)).
     """
     from sbse.datapipe.dedup import raw_shingles
 
+    if "lang" not in docs.columns:
+        docs = docs.withColumn("lang", F.lit(""))
     return raw_shingles(docs, n).select("doc_id", "shingle").distinct()
 
 
@@ -81,8 +88,9 @@ def contamination_screen(
     screened document, including zero-hit ones (left join keeps clean docs).
 
     100 TB shape: the benchmark n-gram set is broadcast (benchmarks are MBs);
-    the corpus n-gram stream is joined map-side and the per-doc counts
-    partial-aggregate before the single groupBy exchange.
+    the corpus n-gram stream is joined map-side, then pays the per-doc
+    distinct exchange and the per-doc groupBy exchange (narrow rows, both
+    map-side partial-aggregated).
     """
     if benchmark is None:
         benchmark = docs.where(F.col("doc_id") % BENCH_STRIDE == 0)
@@ -169,7 +177,9 @@ def pack_sequences(docs: DataFrame, seq_len: int = 512,
     stats prune once the manifest is written sorted by (shard_id,
     start_offset).
     """
-    toks = F.regexp_count(F.col("text"), F.lit("[a-z]+|[0-9]+")).cast("bigint")
+    from sbse.datapipe.text import BPE_ISH_RE
+
+    toks = F.regexp_count(F.col("text"), F.lit(BPE_ISH_RE)).cast("bigint")
     d = shuffle_shard(
         docs.select("doc_id", toks.alias("n_tok")), shard_nibbles,
         carry=("n_tok",),

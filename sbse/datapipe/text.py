@@ -9,6 +9,11 @@ from pyspark.sql import functions as F
 
 _STOPWORDS = ["the", "a", "of", "and", "to"]
 
+#: BPE-ish tokenizer regex — single source of truth for n_bpe_ish
+#: (text_quality), the packing manifest's token counts
+#: (curate.pack_sequences) and their DuckDB oracles.
+BPE_ISH_RE = "[a-z]+|[0-9]+"
+
 
 def text_quality(docs: DataFrame) -> DataFrame:
     """Quality/counting metrics; column-for-column matched by the oracle."""
@@ -20,7 +25,7 @@ def text_quality(docs: DataFrame) -> DataFrame:
         F.length("text").cast("bigint").alias("n_chars"),
         nwords.cast("bigint").alias("n_words_ws"),
         F.regexp_count(F.col("text"), F.lit("[a-z]+")).cast("bigint").alias("n_alpha_tokens"),
-        F.regexp_count(F.col("text"), F.lit("[a-z]+|[0-9]+")).cast("bigint").alias("n_bpe_ish"),
+        F.regexp_count(F.col("text"), F.lit(BPE_ISH_RE)).cast("bigint").alias("n_bpe_ish"),
         ((F.length("text") - F.length(F.replace(F.col("text"), F.lit(" the "), F.lit("")))) / 5)
         .cast("bigint").alias("n_the"),
         (F.length("text").cast("double") / nwords).alias("avg_token_len"),

@@ -624,13 +624,17 @@ SELECT q_id, neighbor_id, rank FROM (
   FROM probe p JOIN home h ON h.cell = p.cell AND h.vec_id <> p.q_id
 ) WHERE rank <= {ivf_k}"""
 
-    # Text quality / language heuristics + token counting.
-    q["q25_text_quality"] = """
+    # Text quality / language heuristics + token counting. The BPE-ish
+    # tokenizer regex is imported from text.py (single source of truth,
+    # shared with the q40 packing oracle below).
+    from sbse.datapipe.text import BPE_ISH_RE
+
+    q["q25_text_quality"] = f"""
 SELECT doc_id, lang, source,
   length(text) AS n_chars,
   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words_ws,
   CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS n_alpha_tokens,
-  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS BIGINT) AS n_bpe_ish,
+  CAST(len(regexp_extract_all(text, '{BPE_ISH_RE}')) AS BIGINT) AS n_bpe_ish,
   CAST((length(text) - length(replace(text, ' the ', ''))) / 5 AS BIGINT) AS n_the,
   CAST(length(text) AS DOUBLE) / len(string_split(text, ' ')) AS avg_token_len,
   (length(text) BETWEEN 100 AND 500
@@ -736,11 +740,11 @@ WITH d AS (
 SELECT doc_id, lang, source, samp_hex, rate
 FROM d WHERE samp_hex < thresh"""
 
-    q["q40_pack_sequences"] = """
+    q["q40_pack_sequences"] = f"""
 WITH d AS (
   SELECT doc_id,
     md5(concat('shard|', CAST(doc_id AS VARCHAR))) AS shuffle_key,
-    CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS BIGINT) AS n_tok
+    CAST(len(regexp_extract_all(text, '{BPE_ISH_RE}')) AS BIGINT) AS n_tok
   FROM documents
 ),
 s AS (

@@ -77,6 +77,33 @@ def cascade(tier: DataFrame, unit: str) -> DataFrame:
     )
 
 
+def counter_exprs(prev):
+    """Reset-aware (increase, is_reset) expressions given the previous-value
+    Column — the single source of truth for counter semantics, shared by the
+    plain path (prev = lag over the global per-key window), the monster-key
+    chunked path (prev = coalesce(chunk-local lag, carried chunk-final
+    value); bigkey.counter_increase_chunked, whose q43 contract is exact
+    equality with q41), and transliterated in numpy by
+    streaming.stateful_counter_increase (fold-equality pytest-pinned)."""
+    inc = (
+        F.when(prev.isNull(), F.lit(0))
+        .when(F.col("n_tok") >= prev, F.col("n_tok") - prev)
+        .otherwise(F.col("n_tok"))
+    )
+    reset = F.when(prev.isNotNull() & (F.col("n_tok") < prev), 1).otherwise(0)
+    return inc, reset
+
+
+def counter_aggs():
+    """The (n_samples, tok_increase, n_resets) agg triple over _inc/_reset
+    columns — shared by both batch counter paths."""
+    return [
+        F.count(F.lit(1)).alias("n_samples"),
+        F.sum("_inc").cast("bigint").alias("tok_increase"),
+        F.sum("_reset").cast("bigint").alias("n_resets"),
+    ]
+
+
 def counter_increase(states: DataFrame, unit: str = "hour") -> DataFrame:
     """Reset-aware counter increase per (source, key, bucket) — the
     PromQL ``increase()`` / TimescaleDB ``counter_agg`` analog over the
@@ -98,24 +125,12 @@ def counter_increase(states: DataFrame, unit: str = "hour") -> DataFrame:
     """
     w = Window.partitionBy("source", "key").orderBy("ord")
     e = states.withColumn("ord", ord_col())
-    prev = F.lag("n_tok").over(w)
-    e = e.withColumn("_prev", prev).withColumn(
+    e = e.withColumn("_prev", F.lag("n_tok").over(w)).withColumn(
         "bucket_start", F.date_trunc(unit, F.col("ts"))
     )
-    inc = (
-        F.when(F.col("_prev").isNull(), F.lit(0))
-        .when(F.col("n_tok") >= F.col("_prev"), F.col("n_tok") - F.col("_prev"))
-        .otherwise(F.col("n_tok"))
-    )
-    reset = F.when(
-        F.col("_prev").isNotNull() & (F.col("n_tok") < F.col("_prev")), 1
-    ).otherwise(0)
+    inc, reset = counter_exprs(F.col("_prev"))
     e = e.withColumn("_inc", inc).withColumn("_reset", reset)
-    return e.groupBy("source", "key", "bucket_start").agg(
-        F.count(F.lit(1)).alias("n_samples"),
-        F.sum("_inc").cast("bigint").alias("tok_increase"),
-        F.sum("_reset").cast("bigint").alias("n_resets"),
-    )
+    return e.groupBy("source", "key", "bucket_start").agg(*counter_aggs())
 
 
 def counter_cascade(tier: DataFrame, unit: str) -> DataFrame:

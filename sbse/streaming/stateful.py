@@ -150,7 +150,7 @@ def stateful_sessions(states: DataFrame, gap_ms: int = GAP_MS_NORTH,
 
 COUNTER_OUT_SCHEMA = ("source string, key bigint, bucket_start timestamp, "
                       "n_samples bigint, tok_increase bigint, n_resets bigint")
-COUNTER_STATE_SCHEMA = "last_tok bigint, last_ts_ms bigint"
+COUNTER_STATE_SCHEMA = "last_tok bigint, last_ts_ms bigint, last_seq bigint"
 
 _UNIT_MS = {"minute": 60_000, "hour": 3_600_000, "day": 86_400_000}
 
@@ -191,15 +191,21 @@ def stateful_counter_increase(states: DataFrame, unit: str = "hour",
         pdf = pd.concat(list(pdfs), ignore_index=True).sort_values(
             ["ts", "seq"])
         ts = pdf["ts"].to_numpy().astype("datetime64[ms]").astype("int64")
+        seq = pdf["seq"].to_numpy().astype("int64")
         tok = pdf["n_tok"].to_numpy().astype("int64")
 
         if state.exists:
-            last_tok, last_ms = state.get
-            if int(ts[0]) < last_ms:
+            last_tok, last_ms, last_seq = state.get
+            # tuple guard: a same-millisecond row is only in order if its
+            # seq is newer — a bare ts check would let ms-tied rows split
+            # across batches in inverted seq order slip through and compute
+            # deltas the batch (ts, seq)-ordered path never sees
+            if (int(ts[0]), int(seq[0])) < (last_ms, last_seq):
                 raise ValueError(
                     f"out-of-order replay for key ({source}, {k}): batch "
-                    f"starts at {int(ts[0])} ms but state is at {last_ms} "
-                    f"ms; re-run through the batch counter_increase"
+                    f"starts at ({int(ts[0])} ms, seq {int(seq[0])}) but "
+                    f"state is at ({last_ms} ms, seq {last_seq}); re-run "
+                    f"through the batch counter_increase"
                 )
             prev = np.concatenate(([last_tok], tok[:-1]))
             inc = np.where(tok >= prev, tok - prev, tok)
@@ -221,7 +227,7 @@ def stateful_counter_increase(states: DataFrame, unit: str = "hour",
         out["source"] = source
         out["key"] = k
         out["bucket_start"] = pd.to_datetime(out.pop("b"), unit="ms")
-        state.update((int(tok[-1]), int(ts[-1])))
+        state.update((int(tok[-1]), int(ts[-1]), int(seq[-1])))
         return iter([out[["source", "key", "bucket_start", "n_samples",
                           "tok_increase", "n_resets"]]])
 

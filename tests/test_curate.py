@@ -1,9 +1,7 @@
 """Behavioral tests for sbse.datapipe.curate (the oracle parity test covers
 engine-vs-DuckDB equivalence; these pin the semantics themselves)."""
 
-import pytest
 from pyspark.sql import Row
-from pyspark.sql import functions as F
 
 from sbse.datapipe import curate as cu
 
@@ -114,3 +112,12 @@ def test_stratified_sample_rate_zero_and_one(spark):
     assert none.count() == 0
     everything = cu.stratified_sample(_docs(spark, rows), rates={"en": 1.0})
     assert everything.count() == 99
+
+
+def test_contamination_minimal_benchmark_frame(spark):
+    # the documented contract: benchmark is any frame with (doc_id, text)
+    leak = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    bench = spark.createDataFrame([(1000, leak)], "doc_id long, text string")
+    out = cu.contamination_screen(
+        _docs(spark, [(5, leak, "en")]), benchmark=bench).collect()
+    assert len(out) == 1 and out[0]["contaminated"] is True
