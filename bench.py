@@ -71,6 +71,7 @@ HEADLINE = [
     "q41_counter_increase",
     "q42_counter_cascade",
     "q43_counter_bigkey",
+    "q44_curation_e2e",
 ]
 
 

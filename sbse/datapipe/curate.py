@@ -236,6 +236,16 @@ def stratified_sample(
 
     Returns (doc_id, lang, source, samp_hex, rate) for sampled rows only.
     """
+    return sample_filter(docs, rates, default_rate).select(
+        "doc_id", "lang", "source", "samp_hex", "rate"
+    )
+
+
+def sample_filter(docs: DataFrame, rates: dict[str, float] | None = None,
+                  default_rate: float = DEFAULT_RATE) -> DataFrame:
+    """The stratified-sample predicate applied in place: keeps every input
+    column (plus samp_hex and rate) so pipeline stages can sample without a
+    join back. stratified_sample is the narrow projection of this."""
     rates = STRATA_RATES if rates is None else rates
     samp = F.substring(
         F.md5(F.concat(F.lit("samp|"), F.col("doc_id").cast("string"))), 1, 4
@@ -246,12 +256,41 @@ def stratified_sample(
         rate = F.when(F.col("lang") == lang, F.lit(float(r))).otherwise(rate)
         thresh = F.when(F.col("lang") == lang, F.lit(_rate_hex4(r))).otherwise(thresh)
     return (
-        docs.select(
-            "doc_id", "lang", "source",
-            samp.alias("samp_hex"),
-            rate.alias("rate"),
-            thresh.alias("_thresh"),
-        )
+        docs.withColumn("samp_hex", samp)
+        .withColumn("rate", rate)
+        .withColumn("_thresh", thresh)
         .where(F.col("samp_hex") < F.col("_thresh"))
         .drop("_thresh")
     )
+
+
+def curation_pipeline(docs: DataFrame, seq_len: int = 512,
+                      rates: dict[str, float] | None = None,
+                      default_rate: float = DEFAULT_RATE,
+                      flag_frac: float = 0.05,
+                      n: int = CONTAM_NGRAM) -> DataFrame:
+    """The full release chain a training corpus goes through, composed from
+    this module's operators: quality gate -> exact dedup (keep the lowest
+    doc_id per md5(text)) -> benchmark-contamination drop (benchmark docs
+    themselves are dropped too — never train on the eval set) -> stratified
+    sample -> sequence-packing manifest. Oracle-checked end-to-end as q44.
+
+    Shuffle budget at 100 TB: the quality gate and sample are map-side
+    filters; dedup is one window over md5(text) hash partitions; the
+    contamination screen pays its two narrow-row exchanges plus the
+    broadcast gram join; the flagged set (contaminated docs are rare by
+    construction) comes back as a LEFT ANTI join; packing is one window.
+    No stage joins the corpus against itself.
+    """
+    from sbse.datapipe.text import quality_pass_expr
+
+    d = docs.where(quality_pass_expr())
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    d = (d.withColumn("_rn", F.row_number().over(w))
+         .where(F.col("_rn") == 1).drop("_rn"))
+    flagged = (contamination_screen(d, n=n, flag_frac=flag_frac)
+               .where(F.col("contaminated")).select("doc_id"))
+    d = (d.where(F.col("doc_id") % BENCH_STRIDE != 0)
+         .join(flagged, "doc_id", "left_anti"))
+    d = sample_filter(d, rates, default_rate)
+    return pack_sequences(d.select("doc_id", "text"), seq_len=seq_len)

@@ -15,6 +15,14 @@ _STOPWORDS = ["the", "a", "of", "and", "to"]
 BPE_ISH_RE = "[a-z]+|[0-9]+"
 
 
+def quality_pass_expr():
+    """The quality gate predicate (length band + minimum word count) —
+    single source of truth for text_quality's quality_pass column and the
+    curation pipeline's first filter (curate.curation_pipeline)."""
+    nwords = F.size(F.split(F.col("text"), " "))
+    return F.length("text").between(100, 500) & (nwords >= 20)
+
+
 def text_quality(docs: DataFrame) -> DataFrame:
     """Quality/counting metrics; column-for-column matched by the oracle."""
     nwords = F.size(F.split(F.col("text"), " "))
@@ -29,9 +37,7 @@ def text_quality(docs: DataFrame) -> DataFrame:
         ((F.length("text") - F.length(F.replace(F.col("text"), F.lit(" the "), F.lit("")))) / 5)
         .cast("bigint").alias("n_the"),
         (F.length("text").cast("double") / nwords).alias("avg_token_len"),
-        (
-            F.length("text").between(100, 500) & (nwords >= 20)
-        ).alias("quality_pass"),
+        quality_pass_expr().alias("quality_pass"),
     )
 
 

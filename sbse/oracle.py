@@ -769,4 +769,77 @@ SELECT doc_id, shard_id, pos_in_shard, n_tok, start_offset,
   CAST((start_offset + greatest(n_tok, 1) - 1) // 512 AS BIGINT) AS seq_last
 FROM p"""
 
+    # End-to-end curation chain (q44): quality gate -> exact dedup keeper ->
+    # contamination drop (benchmark docs dropped too) -> stratified sample
+    # -> packing manifest, mirroring curate.curation_pipeline stage for
+    # stage over the SAME constants bound above.
+    q["q44_curation_e2e"] = f"""
+WITH base AS (
+  SELECT * FROM documents
+  WHERE length(text) BETWEEN 100 AND 500
+    AND len(string_split(text, ' ')) >= 20
+),
+kept AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id)
+      AS rn
+    FROM base
+  ) WHERE rn = 1
+),
+w44 AS (SELECT doc_id, string_split(text, ' ') AS ws FROM kept),
+g44 AS (
+  SELECT DISTINCT doc_id, {gram_cols} AS shingle
+  FROM w44, unnest(generate_series(1, len(ws) - {ng - 1})) AS t(i)
+),
+bg44 AS (SELECT DISTINCT shingle FROM g44 WHERE doc_id % {BENCH_STRIDE} = 0),
+cg44 AS (SELECT * FROM g44 WHERE doc_id % {BENCH_STRIDE} <> 0),
+flagged AS (
+  SELECT cg44.doc_id
+  FROM cg44 LEFT JOIN bg44 USING (shingle)
+  GROUP BY cg44.doc_id
+  HAVING CAST(count(bg44.shingle) AS DOUBLE) / count(*) >= 0.05
+),
+corpus AS (
+  SELECT k.* FROM kept k
+  WHERE k.doc_id % {BENCH_STRIDE} <> 0
+    AND k.doc_id NOT IN (SELECT doc_id FROM flagged)
+),
+sampled AS (
+  SELECT * FROM (
+    SELECT *,
+      substr(md5(concat('samp|', CAST(doc_id AS VARCHAR))), 1, 4)
+        AS samp_hex,
+      CASE lang {thresh_case} ELSE '{_rate_hex4(DEFAULT_RATE)}' END
+        AS thresh
+    FROM corpus
+  ) WHERE samp_hex < thresh
+),
+d44 AS (
+  SELECT doc_id,
+    md5(concat('shard|', CAST(doc_id AS VARCHAR))) AS shuffle_key,
+    CAST(len(regexp_extract_all(text, '{BPE_ISH_RE}')) AS BIGINT) AS n_tok
+  FROM sampled
+),
+s44 AS (
+  SELECT doc_id, shuffle_key, n_tok,
+    CAST(strpos('0123456789abcdef', substr(shuffle_key, 1, 1)) - 1 AS INT)
+      AS shard_id
+  FROM d44
+),
+p44 AS (
+  SELECT doc_id, shard_id,
+    CAST(row_number() OVER w AS BIGINT) AS pos_in_shard,
+    n_tok,
+    CAST(sum(n_tok) OVER (
+      PARTITION BY shard_id ORDER BY shuffle_key, doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok AS BIGINT)
+      AS start_offset
+  FROM s44
+  WINDOW w AS (PARTITION BY shard_id ORDER BY shuffle_key, doc_id)
+)
+SELECT doc_id, shard_id, pos_in_shard, n_tok, start_offset,
+  CAST(start_offset // 512 AS BIGINT) AS seq_first,
+  CAST((start_offset + greatest(n_tok, 1) - 1) // 512 AS BIGINT) AS seq_last
+FROM p44"""
+
     return q

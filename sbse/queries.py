@@ -556,6 +556,16 @@ def q43_counter_bigkey(spark, sf_dir):
     )
 
 
+def q44_curation_e2e(spark, sf_dir):
+    """The full training-corpus release chain composed end-to-end: quality
+    gate -> exact dedup keeper -> contamination drop (benchmark docs
+    dropped too) -> stratified sample -> packing manifest. One oracle for
+    the whole chain."""
+    from sbse.datapipe import curate as cu
+
+    return cu.curation_pipeline(_docs(spark, sf_dir), seq_len=512)
+
+
 def all_queries():
     return {
         "q01_decode": q01_decode,
@@ -601,4 +611,5 @@ def all_queries():
         "q41_counter_increase": q41_counter_increase,
         "q42_counter_cascade": q42_counter_cascade,
         "q43_counter_bigkey": q43_counter_bigkey,
+        "q44_curation_e2e": q44_curation_e2e,
     }
