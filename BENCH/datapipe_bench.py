@@ -206,7 +206,8 @@ def main() -> None:
     # --- curation ops at corpus scale: contamination screen (broadcast
     # benchmark grams vs a 45M-gram corpus stream) and the packing manifest
     # (one window per 16**2 = 256 shards).
-    if _stage_on("curate_contamination") or _stage_on("curate_pack_sequences"):
+    if any(_stage_on(s) for s in ("curate_contamination",
+                                  "curate_pack_sequences", "curate_e2e")):
         from sbse.datapipe import curate as cu
     if _stage_on("curate_contamination"):
         n_ct = timed(
@@ -221,6 +222,12 @@ def main() -> None:
                                       shard_nibbles=2).count(),
         )
         res["stages_out"]["packed_docs"] = n_pk
+    if _stage_on("curate_e2e"):
+        n_e2e = timed(
+            "curate_e2e",
+            lambda: cu.curation_pipeline(docs, seq_len=2048).count(),
+        )
+        res["stages_out"]["curate_e2e_docs"] = n_e2e
 
     res["host_steal_pct"] = {"min": min(steals), "max": max(steals)}
     res["cpus"] = os.cpu_count()
