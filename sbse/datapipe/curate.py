@@ -203,6 +203,50 @@ def pack_sequences(docs: DataFrame, seq_len: int = 512,
     )
 
 
+def write_packed_corpus(docs: DataFrame, path: str, seq_len: int = 512,
+                        shard_nibbles: int = 1,
+                        files_per_shard_hint: int = 1) -> None:
+    """Physically write the packing manifest the way a training loader reads
+    it: range-partitioned by (shard_id, start_offset) and sorted within
+    every file, so each parquet file covers a contiguous slice of one
+    shard's token stream and its row-group min/max stats make the loader's
+    range predicates (read_packed_slice) prune at the footer level.
+
+    This is the materialized twin of the logical plan pack_sequences
+    declares — ``repartitionByRange + sortWithinPartitions`` is exactly the
+    physical strategy Spark's range-exchange machinery uses for a global
+    sort, minus the merge step a loader never needs.
+    """
+    m = pack_sequences(docs, seq_len=seq_len, shard_nibbles=shard_nibbles)
+    n_files = max(1, (16 ** shard_nibbles) * files_per_shard_hint)
+    (
+        m.repartitionByRange(n_files, "shard_id", "start_offset")
+        .sortWithinPartitions("shard_id", "start_offset")
+        .write.mode("overwrite").parquet(path)
+    )
+
+
+def read_packed_slice(spark, path: str, shard_id: int,
+                      seq: int, seq_len: int = 512) -> DataFrame:
+    """Loader-side read of one training sequence: every manifest row whose
+    document contributes tokens to sequence ``seq`` of ``shard_id``.
+
+    The predicate is a conjunction of min/max-friendly range comparisons on
+    the write order (shard_id, then the seq_first/seq_last band around
+    start_offset), so a manifest written by write_packed_corpus serves it
+    with footer-level row-group pruning — no full scan; the engine-plan
+    test asserts the filters reach the parquet scan as PushedFilters.
+    """
+    return (
+        spark.read.parquet(path)
+        .where(
+            (F.col("shard_id") == shard_id)
+            & (F.col("seq_first") <= seq)
+            & (F.col("seq_last") >= seq)
+        )
+    )
+
+
 #: Per-language keep rates for the demo mixture: the sampling threshold is
 #: rate * 65536 expressed as 4 hex digits, compared lexicographically against
 #: the doc's sampling hash — exact at 1/65536 granularity, identically in

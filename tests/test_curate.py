@@ -121,3 +121,53 @@ def test_contamination_minimal_benchmark_frame(spark):
     out = cu.contamination_screen(
         _docs(spark, [(5, leak, "en")]), benchmark=bench).collect()
     assert len(out) == 1 and out[0]["contaminated"] is True
+
+
+def test_write_packed_corpus_file_layout_and_loader_read(spark, tmp_path):
+    """The materialized manifest: every parquet file holds a contiguous,
+    sorted slice of one shard range; the loader's single-sequence read
+    returns exactly the docs overlapping that sequence, with its range
+    predicates pushed into the parquet scan."""
+    import glob
+    import os
+
+    docs = _docs(spark, [(i, " ".join(["tok"] * (i % 9 + 1)), "en")
+                         for i in range(1, 500)])
+    path = str(tmp_path / "packed")
+    cu.write_packed_corpus(docs, path, seq_len=32)
+
+    # per-file: sorted by (shard_id, start_offset), ranges non-overlapping
+    spans = []
+    for f in sorted(glob.glob(os.path.join(path, "part-*.parquet"))):
+        pf = spark.read.parquet(f).collect()
+        if not pf:
+            continue
+        keys = [(r["shard_id"], r["start_offset"]) for r in pf]
+        assert keys == sorted(keys)
+        spans.append((keys[0], keys[-1]))
+    spans.sort()
+    for (lo_a, hi_a), (lo_b, hi_b) in zip(spans, spans[1:]):
+        assert hi_a <= lo_b  # files cover disjoint ranges of the write order
+
+    # whole-manifest read equals the logical plan
+    want = {tuple(sorted(r.asDict().items()))
+            for r in cu.pack_sequences(docs, seq_len=32).collect()}
+    got = {tuple(sorted(r.asDict().items()))
+           for r in spark.read.parquet(path).collect()}
+    assert got == want
+
+    # loader read: exactly the docs overlapping (shard, seq), filters pushed
+    any_row = next(iter(want))
+    shard = dict(any_row)["shard_id"]
+    sl = cu.read_packed_slice(spark, path, shard_id=shard, seq=1, seq_len=32)
+    plan = sl._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "IsNotNull(shard_id)" in plan
+    rows = sl.collect()
+    manifest = [dict(t) for t in want]
+    expect = {r["doc_id"] for r in manifest
+              if r["shard_id"] == shard and r["seq_first"] <= 1 <= r["seq_last"]}
+    assert {r["doc_id"] for r in rows} == expect
+    # the slice is a contiguous run of the shard stream
+    if rows:
+        pos = sorted(r["pos_in_shard"] for r in rows)
+        assert pos == list(range(pos[0], pos[0] + len(pos)))
