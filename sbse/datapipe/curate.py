@@ -329,9 +329,15 @@ def curation_pipeline(docs: DataFrame, seq_len: int = 512,
     from sbse.datapipe.text import quality_pass_expr
 
     d = docs.where(quality_pass_expr())
-    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
-    d = (d.withColumn("_rn", F.row_number().over(w))
-         .where(F.col("_rn") == 1).drop("_rn"))
+    # keeper = min(doc_id) per md5(text) via groupBy + semi-join, NOT a
+    # row_number window: min() partial-aggregates map-side, so a corpus
+    # with a billion copies of one document still reduces each partition to
+    # one row before the exchange — the window form would sort the whole
+    # duplicate group in a single partition (the monster-group hazard).
+    keeper = (d.groupBy(F.md5("text").alias("_h"))
+              .agg(F.min("doc_id").alias("doc_id"))
+              .select("doc_id"))
+    d = d.join(keeper, "doc_id", "left_semi")
     flagged = (contamination_screen(d, n=n, flag_frac=flag_frac)
                .where(F.col("contaminated")).select("doc_id"))
     d = (d.where(F.col("doc_id") % BENCH_STRIDE != 0)
