@@ -207,7 +207,7 @@ def main() -> None:
     # benchmark grams vs a 45M-gram corpus stream) and the packing manifest
     # (one window per 16**2 = 256 shards).
     if any(_stage_on(s) for s in ("curate_contamination",
-                                  "curate_pack_sequences", "curate_e2e")):
+                                  "curate_pack_sequences", "e2e_curate")):
         from sbse.datapipe import curate as cu
     if _stage_on("curate_contamination"):
         n_ct = timed(
@@ -222,12 +222,12 @@ def main() -> None:
                                       shard_nibbles=2).count(),
         )
         res["stages_out"]["packed_docs"] = n_pk
-    if _stage_on("curate_e2e"):
+    if _stage_on("e2e_curate"):
         n_e2e = timed(
-            "curate_e2e",
+            "e2e_curate",
             lambda: cu.curation_pipeline(docs, seq_len=2048).count(),
         )
-        res["stages_out"]["curate_e2e_docs"] = n_e2e
+        res["stages_out"]["e2e_curate_docs"] = n_e2e
 
     res["host_steal_pct"] = {"min": min(steals), "max": max(steals)}
     res["cpus"] = os.cpu_count()

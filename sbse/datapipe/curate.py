@@ -226,10 +226,12 @@ def write_packed_corpus(docs: DataFrame, path: str, seq_len: int = 512,
     )
 
 
-def read_packed_slice(spark, path: str, shard_id: int,
-                      seq: int, seq_len: int = 512) -> DataFrame:
+def read_packed_slice(spark, path: str, shard_id: int, seq: int) -> DataFrame:
     """Loader-side read of one training sequence: every manifest row whose
     document contributes tokens to sequence ``seq`` of ``shard_id``.
+    Sequence numbering is the WRITE-time seq_len's (baked into the
+    manifest's seq_first/seq_last) — re-chunking needs a rewrite, so this
+    deliberately takes no seq_len.
 
     The predicate is a conjunction of min/max-friendly range comparisons on
     the write order (shard_id, then the seq_first/seq_last band around
@@ -320,23 +322,28 @@ def curation_pipeline(docs: DataFrame, seq_len: int = 512,
     sample -> sequence-packing manifest. Oracle-checked end-to-end as q44.
 
     Shuffle budget at 100 TB: the quality gate and sample are map-side
-    filters; dedup is one window over md5(text) hash partitions; the
-    contamination screen pays its two narrow-row exchanges plus the
-    broadcast gram join; the flagged set (contaminated docs are rare by
-    construction) comes back as a LEFT ANTI join; packing is one window.
-    No stage joins the corpus against itself.
+    filters; dedup is a partial-aggregated groupBy over md5(text) plus a
+    keeper semi-join back on doc_id (broadcast at small sf; a co-partitioned
+    equi-join at scale); the contamination screen pays its two narrow-row
+    exchanges plus the broadcast gram join; the flagged set (contaminated
+    docs are rare by construction) comes back as a LEFT ANTI join; packing
+    is one window. No stage has a quadratic corpus self-join — the only
+    corpus-vs-corpus-derived joins are the keeper/flagged equi-joins on
+    doc_id.
     """
     from sbse.datapipe.text import quality_pass_expr
 
+    from sbse.datapipe.dedup import exact_dedup
+
     d = docs.where(quality_pass_expr())
-    # keeper = min(doc_id) per md5(text) via groupBy + semi-join, NOT a
-    # row_number window: min() partial-aggregates map-side, so a corpus
-    # with a billion copies of one document still reduces each partition to
-    # one row before the exchange — the window form would sort the whole
-    # duplicate group in a single partition (the monster-group hazard).
-    keeper = (d.groupBy(F.md5("text").alias("_h"))
-              .agg(F.min("doc_id").alias("doc_id"))
-              .select("doc_id"))
+    # keeper = q20's exact_dedup (min doc_id per md5(text)) + semi-join, NOT
+    # a row_number window: the groupBy min() partial-aggregates map-side, so
+    # a corpus with a billion copies of one document still reduces each
+    # partition to one row before the exchange — the window form would sort
+    # the whole duplicate group in a single partition (the monster-group
+    # hazard). Reusing exact_dedup keeps q20 and q44 on one keeper
+    # convention; Catalyst prunes its count aggregates here.
+    keeper = exact_dedup(d).select(F.col("keeper_doc_id").alias("doc_id"))
     d = d.join(keeper, "doc_id", "left_semi")
     flagged = (contamination_screen(d, n=n, flag_frac=flag_frac)
                .where(F.col("contaminated")).select("doc_id"))

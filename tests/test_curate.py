@@ -147,7 +147,9 @@ def test_write_packed_corpus_file_layout_and_loader_read(spark, tmp_path):
         spans.append((keys[0], keys[-1]))
     spans.sort()
     for (lo_a, hi_a), (lo_b, hi_b) in zip(spans, spans[1:]):
-        assert hi_a <= lo_b  # files cover disjoint ranges of the write order
+        # strict: keys are unique, so a shared boundary key would mean the
+        # same key landed in two files — the exact overlap this guards
+        assert hi_a < lo_b
 
     # whole-manifest read equals the logical plan
     want = {tuple(sorted(r.asDict().items()))
@@ -159,9 +161,19 @@ def test_write_packed_corpus_file_layout_and_loader_read(spark, tmp_path):
     # loader read: exactly the docs overlapping (shard, seq), filters pushed
     any_row = next(iter(want))
     shard = dict(any_row)["shard_id"]
-    sl = cu.read_packed_slice(spark, path, shard_id=shard, seq=1, seq_len=32)
-    plan = sl._jdf.queryExecution().executedPlan().toString()
-    assert "PushedFilters: [" in plan and "IsNotNull(shard_id)" in plan
+    sl = cu.read_packed_slice(spark, path, shard_id=shard, seq=1)
+    # widen the metadata render so the PushedFilters list isn't truncated
+    old_len = spark.conf.get("spark.sql.maxMetadataStringLength")
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
+    try:
+        plan = sl._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.maxMetadataStringLength", old_len)
+    # ALL the range predicates must reach the scan — footer-level pruning is
+    # the point of the materialized manifest
+    assert f"EqualTo(shard_id,{shard})" in plan
+    assert "LessThanOrEqual(seq_first,1)" in plan
+    assert "GreaterThanOrEqual(seq_last,1)" in plan
     rows = sl.collect()
     manifest = [dict(t) for t in want]
     expect = {r["doc_id"] for r in manifest
