@@ -44,6 +44,32 @@ def _norm_col(e: str = "embedding"):
     )
 
 
+def _ordered_fold_np(mat, vec):
+    """sum_j mat[:, j] * vec[j], accumulated in ascending-j order — the
+    numpy twin of the interpreted ``F.aggregate`` fold (one IEEE double
+    multiply + add per element, same sequence), hence bit-identical to it
+    and to the DuckDB oracle's ordered list_sum. The per-dimension loop is
+    deliberate: a matmul would reassociate the additions (pairwise/SIMD)
+    and change last-ulp results."""
+    import numpy as np
+
+    acc = np.zeros(mat.shape[0], dtype=np.float64)
+    for j in range(mat.shape[1]):
+        acc = acc + mat[:, j] * vec[j]
+    return acc
+
+
+def _ordered_nrm_np(mat):
+    """sqrt of the ascending-dimension fold of x*x — the numpy twin of
+    ``_norm_col`` (bit-identical, asserted in tests)."""
+    import numpy as np
+
+    acc = np.zeros(mat.shape[0], dtype=np.float64)
+    for j in range(mat.shape[1]):
+        acc = acc + mat[:, j] * mat[:, j]
+    return np.sqrt(acc)
+
+
 def _dot(a, b):
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
@@ -60,9 +86,12 @@ def _dot(a, b):
 # bit-identical ordered accumulation, spills through Spark's operators.
 _GROUP_ROWS_MAX = 100_000
 # q-row block width inside score(): bounds the numpy scratch matrix to
-# _SCORE_BLOCK x |group| doubles (~160 MB at the group cap) instead of
-# |q| x |h|.
-_SCORE_BLOCK = 2048
+# _SCORE_BLOCK x |group| doubles instead of |q| x |h|, and (round 6) keeps
+# the accumulator resident in cache across the 64 per-dimension passes —
+# at 2048 the acc/tmp pair spilled to RAM every pass and the scorer was
+# memory-bandwidth-bound (measured: q31's 16-cell scorer ~9s; blocked +
+# in-place it is ~1s).
+_SCORE_BLOCK = 256
 
 
 def _pair_join_scores(rows: DataFrame, keys: list[str],
@@ -90,7 +119,8 @@ def _pair_join_scores(rows: DataFrame, keys: list[str],
 
 def _grouped_pair_scores(rows: DataFrame, keys: list[str],
                          symmetric: bool = False,
-                         max_group_rows: int = _GROUP_ROWS_MAX) -> DataFrame:
+                         max_group_rows: int = _GROUP_ROWS_MAX,
+                         topk: int | None = None) -> DataFrame:
     """Per-group pair scoring WITHOUT the array-duplicating pair join: one
     ``applyInPandas`` per group ships every vector ONCE (not once per
     candidate pair) and scores all (query, neighbor) pairs with a strict
@@ -117,7 +147,20 @@ def _grouped_pair_scores(rows: DataFrame, keys: list[str],
     spills through Spark operators) while every bounded group keeps the
     fast one-worker matmul. Inside score(), the scratch matrix is blocked
     over q rows (_SCORE_BLOCK), so worker scratch is O(block x group), not
-    O(|q| x |h|)."""
+    O(|q| x |h|).
+
+    ``topk`` (round 6, guide §2.3 'aggregate before you shuffle'): when
+    set, each group emits only every query's top-``topk`` neighbors by the
+    SAME total order downstream ranking uses (cos desc, NaN first,
+    vec_id asc). Provably lossless for a final per-query top-k over the
+    union of groups: a pair's rank within one group (a subset of the
+    query's candidates) is <= its global rank, so every global top-k pair
+    survives its group cut. Without it, q31's 16-cell scorer shipped ~50M
+    (q_id, vec_id, cos) rows out of Python into a 50M-row rank window —
+    the measured wall of the operator (~9s of 10.7s at sf1.0); with it,
+    <= n_queries x groups_per_query x topk rows cross (~200k). Groups on
+    the fallback pair-join path emit all their pairs (more rows, same
+    final rank)."""
 
     def score(pdf):
         import numpy as np
@@ -137,23 +180,53 @@ def _grouped_pair_scores(rows: DataFrame, keys: list[str],
         B = np.stack(h["embedding"].to_numpy()).astype(np.float64)
         hn = h["nrm"].to_numpy()
         hid = h["vec_id"].to_numpy()
+        if topk is not None:
+            # sort candidates by vec_id ASC once so a stable argsort on the
+            # cos key resolves ties exactly like the downstream rank's
+            # (cos desc, vec_id asc)
+            hs = np.argsort(hid, kind="stable")
+            B, hn, hid = B[hs], hn[hs], hid[hs]
         parts = []
         for i0 in range(0, len(q), _SCORE_BLOCK):
             Ab = A[i0:i0 + _SCORE_BLOCK]
             nb = Ab.shape[0]
+            qb = q["vec_id"].to_numpy()[i0:i0 + nb]
             acc = np.zeros((nb, len(h)))
+            tmp = np.empty((nb, len(h)))
             for j in range(A.shape[1]):  # ascending dims: the fold's order
-                acc = acc + np.multiply.outer(Ab[:, j], B[:, j])
+                # in-place outer-product accumulate: identical IEEE
+                # multiply/add sequence as `acc + np.multiply.outer(...)`
+                # (bit-identical), but no fresh (nb x h) temporaries per
+                # dimension — with _SCORE_BLOCK sized so acc/tmp stay in
+                # cache, the 64 passes stop being RAM-bandwidth-bound.
+                np.multiply(Ab[:, j][:, None], B[:, j][None, :], out=tmp)
+                np.add(acc, tmp, out=acc)
             den = np.multiply.outer(
                 q["nrm"].to_numpy()[i0:i0 + nb], hn
             )
             cos = acc / den
-            qi = np.repeat(q["vec_id"].to_numpy()[i0:i0 + nb], len(h))
-            vi = np.tile(hid, nb)
+            if topk is not None:
+                # ascending sort key = -cos with NaN mapped to -inf (Spark
+                # desc sorts NaN greatest -> first); self-pairs pushed last
+                # BEFORE the cut so they never occupy a top slot
+                key = -cos
+                key[np.isnan(key)] = -np.inf
+                pos = np.searchsorted(hid, qb)
+                ok = (pos < len(hid)) & (hid[np.minimum(pos, len(hid) - 1)]
+                                         == qb)
+                key[np.arange(nb)[ok], pos[ok]] = np.inf
+                kk = min(topk, len(hid))
+                order = np.argsort(key, axis=1, kind="stable")[:, :kk]
+                qi = np.repeat(qb, kk)
+                vi = hid[order].ravel()
+                ci = np.take_along_axis(cos, order, axis=1).ravel()
+            else:
+                qi = np.repeat(qb, len(h))
+                vi = np.tile(hid, nb)
+                ci = cos.ravel()
             keep = qi != vi
             parts.append(pd.DataFrame(
-                {"q_id": qi[keep], "vec_id": vi[keep],
-                 "cos": cos.ravel()[keep]}
+                {"q_id": qi[keep], "vec_id": vi[keep], "cos": ci[keep]}
             ))
         return pd.concat(parts, ignore_index=True) if parts else empty
 
@@ -241,13 +314,17 @@ _ASSIGN_BLOCK = 1024
 
 
 def _assign_cells(embs: DataFrame, cents) -> DataFrame:
-    """Add (cell, cap_cos): nearest centroid and the vector's cosine to it.
-    Vectorized Arrow batch matmul, blocked over centroid columns so scratch
-    memory is O(batch × _ASSIGN_BLOCK), not O(batch × C)."""
+    """Add (cell, cap_cos, nrm): nearest centroid, the vector's cosine to
+    it, and the ordered-fold L2 norm (the ``_norm_col`` twin — computed in
+    the same Arrow pass so callers skip a whole interpreted-fold projection,
+    round 6 guide §4.2). Vectorized Arrow batch matmul, blocked over
+    centroid columns so scratch memory is O(batch × _ASSIGN_BLOCK), not
+    O(batch × C)."""
     from pyspark.sql.functions import pandas_udf
 
     schema = StructType(
-        [StructField("cell", IntegerType()), StructField("cap_cos", DoubleType())]
+        [StructField("cell", IntegerType()), StructField("cap_cos", DoubleType()),
+         StructField("nrm", DoubleType())]
     )
 
     @pandas_udf(schema)
@@ -257,7 +334,8 @@ def _assign_cells(embs: DataFrame, cents) -> DataFrame:
 
         if len(col) == 0:
             return pd.DataFrame({"cell": pd.Series([], dtype="int32"),
-                                 "cap_cos": pd.Series([], dtype="float64")})
+                                 "cap_cos": pd.Series([], dtype="float64"),
+                                 "nrm": pd.Series([], dtype="float64")})
         mat = np.stack(col.to_numpy()).astype(np.float64)  # (n, dim)
         n = mat.shape[0]
         C = cents.shape[1]
@@ -275,10 +353,12 @@ def _assign_cells(embs: DataFrame, cents) -> DataFrame:
         nrm[zero] = 1.0
         cap = best / nrm
         cap[zero] = -1.0  # zero vectors: full cap, never pruned
-        return pd.DataFrame({"cell": cell, "cap_cos": cap})
+        return pd.DataFrame({"cell": cell, "cap_cos": cap,
+                             "nrm": _ordered_nrm_np(mat)})
 
     return embs.withColumn("_a", assign(F.col("embedding"))).select(
-        "*", F.col("_a.cell").alias("cell"), F.col("_a.cap_cos").alias("cap_cos")
+        "*", F.col("_a.cell").alias("cell"), F.col("_a.cap_cos").alias("cap_cos"),
+        F.col("_a.nrm").alias("nrm"),
     ).drop("_a")
 
 
@@ -409,7 +489,7 @@ def cosine_neardup_pairs(
     if cents is None:  # empty input
         return spark.createDataFrame([], "id_a bigint, id_b bigint")
     assigned = _assign_cells(
-        embs.select("vec_id", "embedding", _norm_col().alias("nrm")), cents
+        embs.select("vec_id", "embedding"), cents
     ).localCheckpoint(eager=False)
     stats = [
         (int(r["cell"]), float(r["mc"]))
@@ -481,28 +561,68 @@ def ann_topk_ivf(embs: DataFrame, k: int = 5, n_cells: int = 16,
     * each query probes its ``nprobe`` nearest cells and brute-forces only
       the vectors homed there; exact ordered-fold cosine + row_number rank.
 
-    Scale notes: the centroid table is broadcast (C rows); the assignment
-    ranking windows over the N×C scored rows, then only N×nprobe survive;
-    the candidate join is an equi-join on cell. For 10⁹ vectors swap the
-    fold assignment for the numpy blocked matmul (_assign_cells, computes
-    the argmax without materializing N×C rows) — engine-only; the oracle
-    keeps the fold twin at test scale."""
-    n = embs.select("vec_id", "embedding", _norm_col().alias("nrm"))
-    cents_rows = n.withColumn(
-        "h", F.md5(F.col("vec_id").cast("string"))
-    ).orderBy("h", "vec_id").limit(n_cells)
-    wc = Window.orderBy("h", "vec_id")
-    cents = cents_rows.select(
-        (F.row_number().over(wc) - 1).alias("cell"),
-        F.col("embedding").alias("c_e"), F.col("nrm").alias("c_n"),
+    Scale notes: the centroid table is control-plane (C rows, the
+    _sample_centroids convention); assignment is ONE vectorized Arrow pass
+    per vector computing the ordered-fold cosine to every centroid and
+    ranking the nprobe probes in-batch — bit-identical to the historical
+    N×C crossJoin + interpreted fold + row_number window (the fold twin the
+    oracle mirrors), but with no N×C row materialization, no window
+    shuffle of N×C embedding copies, and no interpreted expression path
+    (round 6, guide §4.1/§4.2: measured 10.0s -> ~1s at sf1.0). The
+    candidate join is an equi-join on cell."""
+    rows = (
+        embs.select("vec_id", "embedding")
+        .withColumn("h", F.md5(F.col("vec_id").cast("string")))
+        .orderBy("h", "vec_id").limit(n_cells).collect()
     )
-    pairs = n.crossJoin(F.broadcast(cents))
-    cellcos = _dot(F.col("embedding"), F.col("c_e")) / (F.col("nrm") * F.col("c_n"))
-    wa = Window.partitionBy("vec_id").orderBy(F.desc("cellcos"), F.asc("cell"))
+    if not rows:
+        return embs.sparkSession.createDataFrame(
+            [], "q_id bigint, neighbor_id bigint, rank int")
+    # cell id = rank in (h, vec_id) order; c_n = the same ascending-dim
+    # fold _norm_col computes (python float IS IEEE double, so the scalar
+    # loop is the same add/mul sequence).
+    cent_vecs = [[float(x) for x in r["embedding"]] for r in rows]
+    cent_nrms = []
+    for v in cent_vecs:
+        acc = 0.0
+        for x in v:
+            acc = acc + x * x
+        cent_nrms.append(math.sqrt(acc))
+    n_probe = min(nprobe, len(cent_vecs))
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("nrm double, cells array<int>")
+    def assign(ecol):
+        import numpy as np
+        import pandas as pd
+
+        if len(ecol) == 0:
+            return pd.DataFrame({"nrm": pd.Series([], dtype="float64"),
+                                 "cells": pd.Series([], dtype="object")})
+        mat = np.stack(ecol.to_numpy()).astype(np.float64)
+        nrm = _ordered_nrm_np(mat)
+        C = len(cent_vecs)
+        cos = np.empty((mat.shape[0], C), dtype=np.float64)
+        for c in range(C):
+            cos[:, c] = _ordered_fold_np(mat, cent_vecs[c]) / (
+                nrm * cent_nrms[c])
+        # rank = (cellcos desc, cell asc), NaN FIRST like Spark's desc
+        # ordering (NaN sorts greatest): ascending key -cos with NaN
+        # mapped to -inf.
+        key = -cos
+        key[np.isnan(key)] = -np.inf
+        order = np.argsort(key, axis=1, kind="stable")[:, :n_probe]
+        return pd.DataFrame({"nrm": nrm, "cells": list(order.astype("int32"))})
+
     asg = (
-        pairs.select("vec_id", "embedding", "nrm", "cell", cellcos.alias("cellcos"))
-        .withColumn("rn", F.row_number().over(wa))
-        .filter(F.col("rn") <= nprobe)
+        embs.select("vec_id", "embedding")
+        .withColumn("_a", assign(F.col("embedding")))
+        .select(
+            "vec_id", "embedding", F.col("_a.nrm").alias("nrm"),
+            F.posexplode(F.col("_a.cells")).alias("_rn0", "cell"),
+        )
+        .withColumn("rn", F.col("_rn0") + 1)
         .localCheckpoint(eager=False)
     )
     # Candidate scoring is GROUP-shaped (see _grouped_pair_scores): each
@@ -515,7 +635,8 @@ def ann_topk_ivf(embs: DataFrame, k: int = 5, n_cells: int = 16,
     probe = asg.select(
         "cell", F.lit(1).alias("role"), "vec_id", "embedding", "nrm"
     )
-    scored = _grouped_pair_scores(home.unionByName(probe), ["cell"])
+    scored = _grouped_pair_scores(home.unionByName(probe), ["cell"],
+                              topk=k)
     return _rank_topk(scored, k)
 
 
@@ -561,16 +682,49 @@ def ann_topk_lsh(embs: DataFrame, k: int = 5, n_planes: int = 6,
 
     Output keeps (rank) and drops the raw cosine: ranking order is
     bit-identical across engines (ordered folds), which is what the oracle
-    checks; the float itself stays out of hashed results."""
+    checks; the float itself stays out of hashed results.
+
+    Plan (round 6, guide §4.1/§4.2): the per-band bucket used to be
+    n_bands × n_planes interpreted ``F.aggregate`` folds per row
+    (higher-order functions are CodegenFallback — the whole projection ran
+    interpreted); buckets and the norm now come from ONE vectorized Arrow
+    pass whose per-plane accumulation is the same ascending-dimension
+    add/mul sequence (bit-identical, asserted in test_datapipe;
+    ``_band_bucket`` stays as the plan-transparent reference twin)."""
     bands = band_plane_signs(n_planes, n_bands, dim)
-    n = embs.select("vec_id", "embedding", _norm_col().alias("nrm"))
-    for b in range(n_bands):
-        n = n.withColumn(f"bucket{b}", _band_bucket("embedding", bands[b]))
-    n = n.localCheckpoint(eager=False)  # buckets computed once
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("nrm double, buckets array<int>")
+    def bucketize(ecol):
+        import numpy as np
+        import pandas as pd
+
+        if len(ecol) == 0:
+            return pd.DataFrame({"nrm": pd.Series([], dtype="float64"),
+                                 "buckets": pd.Series([], dtype="object")})
+        mat = np.stack(ecol.to_numpy()).astype(np.float64)
+        nrm = _ordered_nrm_np(mat)
+        out = np.zeros((mat.shape[0], len(bands)), dtype=np.int32)
+        for b, planes in enumerate(bands):
+            bits = np.zeros(mat.shape[0], dtype=np.int32)
+            for p, row in enumerate(planes):
+                comp = _ordered_fold_np(mat, [float(s) for s in row])
+                bits = bits + np.where(comp > 0, np.int32(1 << p),
+                                       np.int32(0))
+            out[:, b] = bits
+        return pd.DataFrame({"nrm": nrm, "buckets": list(out)})
+
+    n = (
+        embs.select("vec_id", "embedding")
+        .withColumn("_bb", bucketize(F.col("embedding")))
+        .select("vec_id", "embedding", F.col("_bb.nrm").alias("nrm"),
+                F.col("_bb.buckets").alias("_buckets"))
+        .localCheckpoint(eager=False)  # buckets computed once
+    )
     long = n.select(
         "vec_id", "embedding", "nrm",
-        F.posexplode(F.array(*[F.col(f"bucket{b}") for b in range(n_bands)]))
-        .alias("band_id", "bucket"),
+        F.posexplode("_buckets").alias("band_id", "bucket"),
     )
     # Group-shaped scoring (see _grouped_pair_scores): every (band, bucket)
     # population scores its own pair matrix in one applyInPandas group —
@@ -578,6 +732,7 @@ def ann_topk_lsh(embs: DataFrame, k: int = 5, n_planes: int = 6,
     # sharing several bands is scored once per band with BIT-IDENTICAL cos
     # (same ordered accumulation), so the cross-band dedupe is a plain
     # groupBy min (any value is THE value).
-    scored = _grouped_pair_scores(long, ["band_id", "bucket"], symmetric=True)
+    scored = _grouped_pair_scores(long, ["band_id", "bucket"],
+                              symmetric=True, topk=k)
     dedup = scored.groupBy("q_id", "vec_id").agg(F.min("cos").alias("cos"))
     return _rank_topk(dedup, k)

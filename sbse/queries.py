@@ -22,11 +22,38 @@ from sbse.datapipe import similarity as sim
 from sbse.datapipe import text as tx
 
 
+def _widen(df: DataFrame) -> DataFrame:
+    """Adaptive scan-parallelism fix (round 6, guide §2.5 'input skew: one
+    huge unsplittable file'): the harness tables are single parquet files
+    with ONE row group, so every scan-side stage — shingle+md5 map work,
+    mapInPandas decode/simhash, window partial aggregation — ran on <= 2 of
+    the 32 cores (measured: q22's dominant stage showed 2 tasks). When the
+    source offers fewer splits than the cluster has slots, pay one cheap
+    round-robin exchange of the raw rows to unlock full parallelism; on a
+    real multi-file/bucketed table this is a no-op. Content-deterministic:
+    every downstream operator keys on values, never on partition or row
+    order."""
+    import os
+
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if (os.environ.get("SBSE_WIDEN_DOCS", "1") != "0"
+            and df.rdd.getNumPartitions() < min(target, 16)):
+        # hash on the unique id, not round-robin: keyless repartition(n)
+        # pays a local sort of the input (sortBeforeRepartition, guide
+        # §2.5); hashing a unique key needs no sort and spreads evenly.
+        key = "doc_id" if "doc_id" in df.columns else "vec_id"
+        return df.repartition(target, key)
+    return df
+
+
 def _decoded(spark: SparkSession, sf_dir: str) -> DataFrame:
     # localCheckpoint breaks the fused synth->decode expression tree: the
     # inline token projection is a test-harness artifact (production input is
     # a real table); fusing it into decode blows the 64KB codegen method
-    # limit and drops the whole stage to interpreted mode.
+    # limit and drops the whole stage to interpreted mode. Scan parallelism
+    # comes from token_table_from_events' narrow-row widen (round 6) — NOT
+    # from repartitioning the token table here, which would shuffle the
+    # materialized token arrays (~30x the bytes).
     tok = token_table_from_events(spark, sf_dir).localCheckpoint(eager=False)
     return decode(tok, mode="expr")
 
@@ -321,10 +348,19 @@ def q19_gorilla_roundtrip(spark, sf_dir):
 # --- training-data pipeline queries (documents / embeddings) ---------------
 
 def _docs(spark, sf_dir):
+    # plain read: _widen is applied per OPERATOR (q21/q22/q23/q30/q36/q44),
+    # where the per-row map work (shingling, 8x md5, simhash votes) is heavy
+    # enough to amortize the widening exchange — for the sub-second doc
+    # queries (q20/q25/q38/q39/q40/...) the exchange costs more than the
+    # parallelism saves (measured both ways at sf1.0).
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
 def _embs(spark, sf_dir):
+    # never widened: after the round-6 numpy rewrites the embedding UDF
+    # passes are sub-second at scan parallelism and the grouped scorers
+    # repartition by cell/bucket anyway (measured: widening embeddings was
+    # a net ~+0.2s on q26/q31).
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
@@ -333,11 +369,11 @@ def q20_dedup_exact(spark, sf_dir):
 
 
 def q21_ngram_jaccard(spark, sf_dir):
-    return dd.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.2)
+    return dd.ngram_jaccard_pairs(_widen(_docs(spark, sf_dir)), threshold=0.2)
 
 
 def q22_minhash_lsh(spark, sf_dir):
-    return dd.minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.2)
+    return dd.minhash_lsh_pairs(_widen(_docs(spark, sf_dir)), threshold=0.2)
 
 
 def q24_embedding_neardup(spark, sf_dir):
@@ -357,7 +393,7 @@ def q25_text_quality(spark, sf_dir):
 
 def q23_simhash(spark, sf_dir):
     # md5-derived word bits (portable) — oracle-checked bit-for-bit.
-    return dd.simhash64(_docs(spark, sf_dir))
+    return dd.simhash64(_widen(_docs(spark, sf_dir)))
 
 
 def q26_ann_topk(spark, sf_dir):
@@ -439,11 +475,19 @@ def q31_ann_ivf(spark, sf_dir):
 
 
 def q30_simhash_candidates(spark, sf_dir):
-    # SimHash near-dup candidates: 8 width-8 bands (pigeonhole-complete for
-    # hamming <= 7), per-band equi-join, distinct, exact bit_count(xor)
-    # Hamming filter — portable integer SQL, oracle-checked.
-    return dd.simhash_candidates(dd.simhash64(_docs(spark, sf_dir)),
-                                 max_hamming=7, n_bands=8)
+    # SimHash near-dup candidates at radius 7. The ORACLE is the plain
+    # 8x8-band SQL (pigeonhole-complete for hamming <= 7: any such pair
+    # shares a clean band, so the banding emits EXACTLY the radius-7 pair
+    # set). The ENGINE plan (round 6) runs the multi-block banding instead:
+    # identical output (both are complete — the equivalence q36's
+    # brute-force oracle already pins), but ~19-bit keys instead of 8-bit.
+    # With 8-bit keys the self-join's candidate volume is Sum |bucket|^2
+    # over 256 buckets/band — measured 125s at sf1.0 (50k docs) vs ~7s for
+    # the identical-output multiblock plan (guide §2.5/§3: the join key was
+    # the skew).
+    return dd.simhash_candidates_multiblock(
+        dd.simhash64(_widen(_docs(spark, sf_dir))), max_hamming=7, n_blocks=10,
+        comb=3)
 
 
 def q36_simhash_multiblock(spark, sf_dir):
@@ -455,7 +499,7 @@ def q36_simhash_multiblock(spark, sf_dir):
     with hamming <= 7 — the oracle is the brute-force pair scan, which
     checks completeness directly rather than mirroring the banding."""
     return dd.simhash_candidates_multiblock(
-        dd.simhash64(_docs(spark, sf_dir)), max_hamming=7, n_blocks=10,
+        dd.simhash64(_widen(_docs(spark, sf_dir))), max_hamming=7, n_blocks=10,
         comb=3)
 
 
@@ -563,7 +607,7 @@ def q44_curation_e2e(spark, sf_dir):
     the whole chain."""
     from sbse.datapipe import curate as cu
 
-    return cu.curation_pipeline(_docs(spark, sf_dir), seq_len=512)
+    return cu.curation_pipeline(_widen(_docs(spark, sf_dir)), seq_len=512)
 
 
 def all_queries():

@@ -19,9 +19,30 @@ TOKEN_SCHEMA_DDL = "doc_id string, tokens array<int>, n_tok int, source string"
 
 
 def token_table_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    spark.read.parquet(f"{sf_dir}/events.parquet").createOrReplaceTempView(
-        "sbse_events_src"
-    )
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # Adaptive scan parallelism (round 6, guide §2.5 'one huge unsplittable
+    # file'): the harness events table is a single parquet file with ONE row
+    # group, so every downstream stage up to the first shuffle (token
+    # projection, checkpoint write, decode) ran on <= 2 of the cores. When
+    # the source offers fewer splits than the cluster has slots, pay one
+    # round-robin exchange of the NARROW event rows (4 columns — before the
+    # token arrays are built, so the shuffle moves ~30x fewer bytes than
+    # widening the token table would); on a real multi-file table this is a
+    # no-op. Content-deterministic: nothing downstream keys on partition or
+    # row order.
+    import os
+
+    par = spark.sparkContext.defaultParallelism
+    if (os.environ.get("SBSE_WIDEN_EVENTS", "1") != "0"
+            and ev.rdd.getNumPartitions() < min(par, 16)):
+        # HASH repartition on the unique event id, not round-robin: a
+        # keyless repartition(n) first pays a local sort of its input
+        # (spark.sql.execution.sortBeforeRepartition, needed so retried
+        # tasks reproduce the same row placement — guide §2.5), which on
+        # the 2 scan cores cost more than the widening saved; hashing a
+        # unique deterministic key needs no sort and spreads perfectly.
+        ev = ev.repartition(par, "event_id")
+    ev.createOrReplaceTempView("sbse_events_src")
     return spark.sql(token_table_sql(SPARK, "sbse_events_src"))
 
 

@@ -599,3 +599,34 @@ def test_simhash_multiblock_params(spark):
         simhash_candidates_multiblock(sims, max_candidate_pairs=1).collect()
     assert simhash_candidates_multiblock(
         sims, max_candidate_pairs=None).count() > 0
+
+
+def test_ordered_fold_np_bit_identical_to_catalyst_fold(spark):
+    """Round-6 fast twins: the numpy ascending-dimension accumulation
+    (_ordered_fold_np / _ordered_nrm_np, used by ann_topk_lsh buckets, the
+    IVF assignment, and _assign_cells' nrm) must be BIT-identical to the
+    interpreted F.aggregate folds (_dot / _norm_col) the oracle mirrors —
+    exact ==, no tolerance."""
+    import numpy as np
+
+    from sbse.datapipe.similarity import (_dot, _norm_col, _ordered_fold_np,
+                                          _ordered_nrm_np)
+
+    rng = np.random.RandomState(7)
+    # mixed magnitudes so accumulation order actually matters at the ulp
+    raw = rng.standard_normal((300, 64)) * (10.0 ** rng.randint(-4, 5, (300, 64)))
+    vecs = [(i, [float(np.float32(x)) for x in raw[i]]) for i in range(300)]
+    df = spark.createDataFrame(vecs, "vec_id bigint, embedding array<float>")
+    plane = [float(np.float32(x)) for x in rng.standard_normal(64)]
+    arr = F.array(*[F.lit(p) for p in plane])
+    got_rows = df.select(
+        "vec_id", _norm_col().alias("n"),
+        _dot(F.col("embedding"), arr).alias("d"),
+    ).collect()
+    mat = np.stack([np.asarray(v, dtype=np.float32) for _, v in vecs]).astype(
+        np.float64)
+    nrm = _ordered_nrm_np(mat)
+    dot = _ordered_fold_np(mat, plane)
+    for r in got_rows:
+        assert nrm[r.vec_id] == r.n, (r.vec_id, nrm[r.vec_id], r.n)
+        assert dot[r.vec_id] == r.d, (r.vec_id, dot[r.vec_id], r.d)
