@@ -196,6 +196,11 @@ def minhash_lsh_pairs(
     if max_df is not None:
         sh = sh.join(F.broadcast(hot_shingles(sh, max_df)), "shingle",
                      "left_anti")
+    # no localCheckpoint (round 6): in Spark 4.1 it resets
+    # outputPartitioning to Unknown AND blocks ReuseExchange; the three
+    # consumers (verify x2, bands) share the one heavy shingle exchange at
+    # runtime and only recompute the cheap 1-row-per-doc final aggregate
+    # (measured 3.7s -> 2.9s at sf1.0).
     sets_sig = sh.groupBy("doc_id").agg(
         F.sort_array(F.collect_set("shingle")).alias("shs"),
         *[
@@ -204,7 +209,7 @@ def minhash_lsh_pairs(
             ).alias(f"mh{s}")
             for s in range(k)
         ],
-    ).localCheckpoint(eager=False)
+    )
     sets = sets_sig.select("doc_id", "shs")
     sig = sets_sig.select("doc_id", *[f"mh{s}" for s in range(k)])
     all_bands = sig.select(
@@ -560,11 +565,29 @@ def simhash_candidates_multiblock(
                 f"{max_candidate_pairs:.0e}; raise comb/n_blocks for wider "
                 f"keys, or pass a larger/None cap."
             )
+    # Each banded entry carries two per-table constants used by the
+    # canonical-emission filter below: ``below`` = bitmask of all block
+    # indices under the table's HIGHEST block, ``low`` = the table's block
+    # mask minus that highest block. Carried as columns from the explode —
+    # a per-row element_at lookup into a 120-literal array re-built the
+    # array per joined row (measured: the join ran >40x slower).
+    def _consts(c):
+        m = sum(1 << i for i in c)
+        top = max(c)
+        return (1 << top) - 1, m - (1 << top)
+
     banded = sims.select(
         "doc_id",
         "simhash",
-        F.posexplode(F.array(*keys)).alias("table_id", "key"),
-    )
+        F.posexplode(F.array(*[
+            F.struct(k.alias("key"),
+                     F.lit(_consts(c)[0]).alias("below"),
+                     F.lit(_consts(c)[1]).alias("low"))
+            for k, c in zip(keys, combos)
+        ])).alias("table_id", "_e"),
+    ).select("doc_id", "simhash", "table_id",
+             F.col("_e.key").alias("key"), F.col("_e.below").alias("below"),
+             F.col("_e.low").alias("low"))
     # Pre-partition the banded frame on the join keys so (a) the exchange
     # is written ONCE and read by both self-join sides, and (b) the
     # SHUFFLE_HASH build side is bounded: each task's hash map holds
@@ -578,22 +601,49 @@ def simhash_candidates_multiblock(
         sims.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
     parts = max(default_parts, n_banded // 300_000 + 1)
     banded = banded.repartition(parts, "table_id", "key")
+    # BOTH sides project the same columns from the repartitioned frame so
+    # the exchange subplans stay canonically identical and ReuseExchange
+    # fires (one exchange written, read twice).
     a = banded.select(F.col("doc_id").alias("doc_a"),
-                      F.col("simhash").alias("sim_a"), "table_id", "key")
+                      F.col("simhash").alias("sim_a"), "table_id", "key",
+                      "below", "low")
     b_ = banded.select(F.col("doc_id").alias("doc_b"),
                        F.col("simhash").alias("sim_b"),
                        F.col("table_id").alias("table_id_b"),
-                       F.col("key").alias("key_b"))
-    # hamming BEFORE the cross-table dedup (see simhash_candidates): with
-    # C(n_blocks, comb) tables a true near-dup collides in up to ALL of
-    # them, and uniform-occupancy noise adds ~est_uniform more — filtering
-    # first keeps both the multiplicity and the noise out of the distinct
-    # exchange, and drops the two 64-bit sketch columns from its rows.
-    # SHUFFLE_HASH: the default SortMergeJoin sorts BOTH 120M-row banded
-    # sides (the two biggest stages of the operator); hash lookup needs no
-    # order, the ~20-bit keys hash-distribute uniformly, and the per-
-    # partition build size is total/shuffle.partitions — the knob that
-    # already scales with the cluster
+                       F.col("key").alias("key_b"),
+                       F.col("below").alias("below_b"),
+                       F.col("low").alias("low_b"))
+    # hamming filter FIRST (codegen per joined row, kills ~90% of bucket
+    # collisions at the bench corpus), then CANONICAL-TABLE emission
+    # (round 6) instead of a `.distinct()`: a surviving pair collides in
+    # one table per comb-subset of its agreeing blocks (~11x multiplicity
+    # measured at sf1.0 — 19.7M rows used to flow into the distinct
+    # exchange for 1.77M output pairs), so each pair is kept ONLY in the
+    # table whose blocks are its `comb` LOWEST agreeing blocks — exactly
+    # one table per pair, same output set, no dedup exchange at all
+    # (guide §2.4 'remove shuffles outright'). The check: this table is
+    # canonical iff every agreeing block below the table's highest block
+    # is one of the table's own lower blocks, i.e.
+    # (agree & below) == low with the per-table constants carried from
+    # the explode. ``agree`` (bit i set <=> block i identical in both
+    # sketches) is referenced exactly ONCE — an earlier lowest-bit-peeling
+    # formulation referenced it 2x per peel and Catalyst inlined the whole
+    # CASE chain exponentially into the join condition (measured >40x
+    # slower).
+    # SHUFFLE_HASH: the default SortMergeJoin sorts BOTH banded sides (the
+    # two biggest stages of the operator); hash lookup needs no order, the
+    # ~20-bit keys hash-distribute uniformly, and the per-partition build
+    # size is total/shuffle.partitions — the knob that already scales with
+    # the cluster.
+    xor = F.col("sim_a").bitwiseXOR(F.col("sim_b"))
+    agree = None
+    for i in range(n_blocks):
+        piece = F.when(
+            F.shiftrightunsigned(xor, offsets[i])
+            .bitwiseAND(F.lit((1 << widths[i]) - 1)) == 0,
+            F.lit(1 << i),
+        ).otherwise(F.lit(0))
+        agree = piece if agree is None else agree.bitwiseOR(piece)
     return (
         a.join(b_.hint("SHUFFLE_HASH"),
                (F.col("table_id") == F.col("table_id_b"))
@@ -601,9 +651,10 @@ def simhash_candidates_multiblock(
                & (F.col("doc_a") < F.col("doc_b")))
         .select(
             "doc_a", "doc_b",
-            F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
-            .cast("int").alias("hamming"),
+            F.bit_count(xor).cast("int").alias("hamming"),
+            "below", "low", "sim_a", "sim_b",
         )
         .filter(F.col("hamming") <= max_hamming)
-        .distinct()
+        .filter(agree.bitwiseAND(F.col("below")) == F.col("low"))
+        .select("doc_a", "doc_b", "hamming")
     )
