@@ -596,10 +596,14 @@ def simhash_candidates_multiblock(
     # it held 3.75M rows per task and OOMed the 8g local heap — but the
     # partition count is exactly the knob a cluster already scales; AQE
     # does not coalesce an explicit repartition count.
+    # ~64k banded rows per partition: the SHUFFLE_HASH build map stays
+    # cache-resident per task (measured 6.3s -> 5.8s at sf1.0 vs the old
+    # 300k target), and smaller per-task builds only lower the memory
+    # bound that motivated the explicit sizing in the first place.
     n_banded = n_docs * len(combos)
     default_parts = int(
         sims.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
-    parts = max(default_parts, n_banded // 300_000 + 1)
+    parts = max(default_parts, n_banded // 65_536 + 1)
     banded = banded.repartition(parts, "table_id", "key")
     # BOTH sides project the same columns from the repartitioned frame so
     # the exchange subplans stay canonically identical and ReuseExchange

@@ -491,36 +491,142 @@ def cosine_neardup_pairs(
     assigned = _assign_cells(
         embs.select("vec_id", "embedding"), cents
     ).localCheckpoint(eager=False)
-    stats = [
-        (int(r["cell"]), float(r["mc"]))
-        for r in assigned.groupBy("cell").agg(F.min("cap_cos").alias("mc")).collect()
-    ]
+    cell_rows = assigned.groupBy("cell").agg(
+        F.min("cap_cos").alias("mc"), F.count(F.lit(1)).alias("n")
+    ).collect()
+    stats = [(int(r["cell"]), float(r["mc"])) for r in cell_rows]
+    sizes = {int(r["cell"]): int(r["n"]) for r in cell_rows}
     if len(stats) <= _DRIVER_GRID_MAX_CELLS:
         cp = _candidate_cell_pairs(stats, threshold, cents)
     else:
         cp = _candidate_cell_pairs_spark(spark, stats, threshold, cents)
     if not cp:
         return spark.createDataFrame([], "id_a bigint, id_b bigint")
-    cpdf = F.broadcast(spark.createDataFrame(cp, "cell_a int, cp_cell_b int"))
-    a = assigned.select(
-        F.col("vec_id").alias("id_a"), F.col("embedding").alias("e_a"),
-        F.col("nrm").alias("n_a"), F.col("cell").alias("cell_a"),
-    )
-    b = assigned.select(
-        F.col("vec_id").alias("id_b"), F.col("embedding").alias("e_b"),
-        F.col("nrm").alias("n_b"), F.col("cell").alias("cell_b"),
-    )
-    pairs = a.join(cpdf, "cell_a").join(
-        b, (F.col("cp_cell_b") == F.col("cell_b")) & (F.col("id_a") < F.col("id_b"))
-    )
-    np_cos = _np_cos_prefilter()
-    pre = pairs.filter(np_cos(F.col("e_a"), F.col("e_b")) >= threshold - 1e-9)
-    cos = _dot(F.col("e_a"), F.col("e_b")) / (F.col("n_a") * F.col("n_b"))
-    return (
-        pre.withColumn("cos", cos)
-        .filter(F.col("cos") >= threshold)
-        .select("id_a", "id_b")
-    )
+    # Grouped cell-pair scoring (round 6, the _grouped_pair_scores data
+    # movement applied here): the old plan joined candidate rows into
+    # per-PAIR rows carrying BOTH embedding arrays through an Arrow
+    # prefilter — ~200M array pairs at sf1.0 (threshold 0.4 prunes few
+    # cell pairs), measured ~100s. Now each vector ships ONCE per
+    # candidate cell pair into one applyInPandas group; inside the worker
+    # a blocked numpy matmul scores the |ci| x |cj| grid (NOT
+    # authoritative — pairwise summation), survivors within the 1e-9
+    # slack get the exact ascending-dimension fold (bit-identical to
+    # _dot / the DuckDB oracle), and only (id_a, id_b) rows return.
+    # Oversized pairs (combined cells above _GROUP_ROWS_MAX) keep the old
+    # pair-join two-tier path — spills through Spark instead of one
+    # worker's heap.
+    upairs = sorted({(min(i, j), max(i, j)) for i, j in cp})
+    small = [p for p in upairs
+             if sizes.get(p[0], 0) + sizes.get(p[1], 0) <= _GROUP_ROWS_MAX]
+    big = [p for p in upairs
+           if sizes.get(p[0], 0) + sizes.get(p[1], 0) > _GROUP_ROWS_MAX]
+    out = None
+    if small:
+        members = []
+        for pid, (i, j) in enumerate(small):
+            members.append((i, pid, 0))
+            if j != i:
+                members.append((j, pid, 1))
+        mdf = F.broadcast(spark.createDataFrame(
+            members, "cell int, pair_id int, side int"))
+        rows = assigned.join(mdf, "cell").select(
+            "pair_id", "side", "vec_id", "embedding", "nrm")
+        thr = float(threshold)
+
+        def score(pdf):
+            import numpy as np
+            import pandas as pd
+
+            empty = pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                                  "id_b": pd.Series([], dtype="int64")})
+            a = pdf[pdf["side"] == 0]
+            b = pdf[pdf["side"] == 1]
+            within = len(b) == 0
+            if within:
+                b = a
+            if len(a) == 0 or len(b) == 0:
+                return empty
+            A = np.stack(a["embedding"].to_numpy()).astype(np.float64)
+            B = np.stack(b["embedding"].to_numpy()).astype(np.float64)
+            na = a["nrm"].to_numpy()
+            nb = b["nrm"].to_numpy()
+            aid = a["vec_id"].to_numpy()
+            bid = b["vec_id"].to_numpy()
+            dena = na.copy()
+            dena[dena == 0.0] = 1.0  # mirror _np_cos_prefilter's 0-norm guard
+            denb = nb.copy()
+            denb[denb == 0.0] = 1.0
+            parts = []
+            for i0 in range(0, len(a), _SCORE_BLOCK):
+                Ab = A[i0:i0 + _SCORE_BLOCK]
+                approx = (Ab @ B.T) / np.multiply.outer(
+                    dena[i0:i0 + _SCORE_BLOCK], denb)
+                mask = approx >= thr - 1e-9
+                ia, ib = np.nonzero(mask)
+                if len(ia) == 0:
+                    continue
+                ia = ia + i0
+                # exact ordered fold on survivors only (ascending dims —
+                # bit-identical to the F.aggregate fold / DuckDB
+                # list_sum); sub-blocked so a dense low-threshold group
+                # cannot gather block x |B| embedding rows at once
+                for s0 in range(0, len(ia), 1 << 18):
+                    sa = ia[s0:s0 + (1 << 18)]
+                    sb = ib[s0:s0 + (1 << 18)]
+                    SA = A[sa]
+                    SB = B[sb]
+                    acc = np.zeros(len(sa), dtype=np.float64)
+                    for d in range(A.shape[1]):
+                        acc = acc + SA[:, d] * SB[:, d]
+                    cos = acc / (na[sa] * nb[sb])
+                    ida = aid[sa]
+                    idb = bid[sb]
+                    keep = (cos >= thr) & (ida != idb)
+                    lo = np.minimum(ida[keep], idb[keep])
+                    hi = np.maximum(ida[keep], idb[keep])
+                    if within:
+                        keep2 = lo < hi
+                        lo, hi = lo[keep2], hi[keep2]
+                    parts.append(pd.DataFrame({"id_a": lo, "id_b": hi}))
+            if not parts:
+                return empty
+            res = pd.concat(parts, ignore_index=True)
+            # within-cell grids score each unordered pair from both
+            # orientations with identical cos — dedupe locally
+            return res.drop_duplicates() if within else res
+            return (pd.concat(parts, ignore_index=True).drop_duplicates()
+                    if parts else empty)
+
+        out = rows.groupBy("pair_id").applyInPandas(
+            score, "id_a bigint, id_b bigint"
+        ).select("id_a", "id_b")
+    if big:
+        both = {(i, j) for i, j in big} | {(j, i) for i, j in big}
+        cpdf = F.broadcast(spark.createDataFrame(
+            sorted(both), "cell_a int, cp_cell_b int"))
+        a = assigned.select(
+            F.col("vec_id").alias("id_a"), F.col("embedding").alias("e_a"),
+            F.col("nrm").alias("n_a"), F.col("cell").alias("cell_a"),
+        )
+        b = assigned.select(
+            F.col("vec_id").alias("id_b"), F.col("embedding").alias("e_b"),
+            F.col("nrm").alias("n_b"), F.col("cell").alias("cell_b"),
+        )
+        pairs = a.join(cpdf, "cell_a").join(
+            b, (F.col("cp_cell_b") == F.col("cell_b"))
+            & (F.col("id_a") < F.col("id_b"))
+        )
+        np_cos = _np_cos_prefilter()
+        pre = pairs.filter(
+            np_cos(F.col("e_a"), F.col("e_b")) >= threshold - 1e-9)
+        cos = _dot(F.col("e_a"), F.col("e_b")) / (F.col("n_a") * F.col("n_b"))
+        fb = (
+            pre.withColumn("cos", cos)
+            .filter(F.col("cos") >= threshold)
+            .select("id_a", "id_b")
+        )
+        out = fb if out is None else out.unionByName(fb)
+    return out
 
 
 # ---------------------------------------------------------------------------

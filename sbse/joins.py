@@ -19,9 +19,35 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def attribute_events_to_sessions(events: DataFrame, sessions: DataFrame) -> DataFrame:
+def attribute_events_to_sessions(events: DataFrame, sessions: DataFrame,
+                                 assume_disjoint: bool = False) -> DataFrame:
     """Interval join: each event row matched to the session whose
-    [started_at, ended_at] contains its ts (same source/key)."""
+    [started_at, ended_at] contains its ts (same source/key).
+
+    ``assume_disjoint`` (round 6): when the caller KNOWS a key's sessions
+    never overlap — always true for gap sessionization, whose sessions
+    partition the key's timeline — the containing session is simply the
+    latest one with started_at <= ts, so the interval join collapses to an
+    as-of join (one shuffle + window LOCF) plus the ended_at containment
+    filter. The generic sort-merge interval join pairs every same-key
+    (event, session) combination before filtering — measured ~110M pair
+    evaluations / 10.3s at sf1.0 vs ~1.7s for the as-of form (identical
+    output on disjoint sessions, which q15's oracle pins). Default False
+    keeps the general contract: overlapping sessions yield one row per
+    containing session."""
+    if assume_disjoint:
+        right = sessions.select(
+            "source", "key", F.col("started_at").alias("_sts"),
+            "session_id", "started_at", "ended_at",
+        )
+        j = asof_join(
+            events, right, keys=["source", "key"], right_ts="_sts",
+            value_cols=["session_id", "started_at", "ended_at"],
+        )
+        return j.filter(
+            F.col("session_id").isNotNull()
+            & F.col("ts").between(F.col("started_at"), F.col("ended_at"))
+        )
     s = sessions.select(
         "session_id",
         F.col("source").alias("s_source"),

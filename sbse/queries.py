@@ -239,8 +239,12 @@ def q15_interval_join(spark, sf_dir):
     m = _merged(spark, sf_dir)
     s = sessionize(m, gap_ms=30_000, close_trailing=True)
     sessions = session_rollup(s)
+    # gap sessions are disjoint per key, so the as-of form is exact
+    # (round 6: the generic interval join paired every same-key
+    # event x session combination — ~110M filtered pairs at sf1.0)
     attributed = attribute_events_to_sessions(
-        m.select("source", "key", "ts", "seq"), sessions
+        m.select("source", "key", "ts", "seq"), sessions,
+        assume_disjoint=True,
     )
     return attributed.groupBy("session_id").agg(
         F.count(F.lit(1)).alias("n_attributed")
