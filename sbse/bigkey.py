@@ -56,21 +56,33 @@ CHUNK_MS_DEFAULT = 3_600_000
 
 
 def _with_chunk(df: DataFrame, chunk_ms: int) -> DataFrame:
-    """Attach the time-chunk column — or TRUST an existing ``_chunk``.
+    """Attach the time-chunk column — or reuse an existing ``_chunk``
+    WHOSE chunk size provably matches.
 
-    The reuse matters for the chained plan (monster_safe_sessions): the
-    frame coming out of ``locf_merge_chunked(keep_chunk=True)`` is already
-    hash-partitioned AND sorted by (source, key, _chunk, ts, seq) — a
-    partitioning the localCheckpoint preserved. Recomputing the floor()
-    creates a fresh attribute id Catalyst cannot prove equal to the one in
-    the preserved partitioning, forcing a second full exchange + sort of
-    the event frame. Callers passing a pre-chunked frame must have built
-    it with the SAME chunk_ms (monster_safe_sessions does; the chain is
-    equality-tested against the plain path and oracle-checked as q34)."""
+    The reuse matters for the chained plan: a frame coming out of
+    ``locf_merge_chunked(keep_chunk=True)`` already carries the chunk
+    column aligned with its partitioning/sort; recomputing the floor()
+    creates a fresh attribute id Catalyst cannot prove equal, forcing a
+    second full exchange + sort of the event frame. Round 6 (ADVICE r5):
+    the reuse is no longer on trust — the column is stamped with its
+    chunk_ms in field metadata, and a pre-existing ``_chunk`` whose stamp
+    is absent or different raises instead of silently mis-chunking the
+    stitch (locf_merge_chunked(chunk_ms=A) chained into
+    sessionize_chunked(chunk_ms=B) with A != B used to produce wrong
+    sessions with no error)."""
     if "_chunk" in df.columns:
+        meta = df.schema["_chunk"].metadata
+        if meta.get("chunk_ms") != chunk_ms:
+            raise ValueError(
+                f"pre-existing _chunk column was built with "
+                f"chunk_ms={meta.get('chunk_ms')!r} but this operator needs "
+                f"chunk_ms={chunk_ms}; drop the column or align the sizes"
+            )
         return df
-    return df.withColumn(
-        "_chunk", F.floor(F.unix_millis("ts") / F.lit(chunk_ms))
+    return df.select(
+        "*",
+        F.floor(F.unix_millis("ts") / F.lit(chunk_ms)).alias(
+            "_chunk", metadata={"chunk_ms": chunk_ms}),
     )
 
 

@@ -121,6 +121,12 @@ def write_partitioned(
 ) -> dict:
     """Write ``df`` date-partitioned under ``path`` and append a snapshot
     manifest. Returns the snapshot."""
+    # one computation of df for BOTH the stats job and the write (round 6:
+    # the stats job used to recompute the whole upstream chain — for q14
+    # that was a second full decode+LOCF pass); the checkpoint also keeps
+    # the refuse-before-write NULL contract intact, since the stats job
+    # still runs before any file is touched.
+    df = df.localCheckpoint(eager=False)
     stats = _partition_stats(df, date_col)
     (
         df.withColumn(LOG_DATE, F.date_format(date_col, "yyyy-MM-dd"))

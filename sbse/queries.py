@@ -29,8 +29,8 @@ def _widen(df: DataFrame) -> DataFrame:
     mapInPandas decode/simhash, window partial aggregation — ran on <= 2 of
     the 32 cores (measured: q22's dominant stage showed 2 tasks). When the
     source offers fewer splits than the cluster has slots, pay one cheap
-    round-robin exchange of the raw rows to unlock full parallelism; on a
-    real multi-file/bucketed table this is a no-op. Content-deterministic:
+    hash exchange of the raw rows to unlock full parallelism; on a real
+    multi-file/bucketed table this is a no-op. Content-deterministic:
     every downstream operator keys on values, never on partition or row
     order."""
     import os

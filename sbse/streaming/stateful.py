@@ -199,8 +199,12 @@ def stateful_counter_increase(states: DataFrame, unit: str = "hour",
             # tuple guard: a same-millisecond row is only in order if its
             # seq is newer — a bare ts check would let ms-tied rows split
             # across batches in inverted seq order slip through and compute
-            # deltas the batch (ts, seq)-ordered path never sees
-            if (int(ts[0]), int(seq[0])) < (last_ms, last_seq):
+            # deltas the batch (ts, seq)-ordered path never sees. The
+            # comparison is <= (round 6, ADVICE r5): a batch must start
+            # STRICTLY after the stored (ts, seq) — an exactly re-delivered
+            # last row (at-least-once replay of the last file) would
+            # otherwise pass silently and double-count its increase
+            if (int(ts[0]), int(seq[0])) <= (last_ms, last_seq):
                 raise ValueError(
                     f"out-of-order replay for key ({source}, {k}): batch "
                     f"starts at ({int(ts[0])} ms, seq {int(seq[0])}) but "

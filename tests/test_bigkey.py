@@ -205,3 +205,27 @@ def test_counter_chunked_equals_plain_across_boundaries(spark):
     k2 = [dict(t) for t in plain if dict(t)["key"] == 2]
     assert sum(r["tok_increase"] for r in k2) == 10 + 5 + 1
     assert sum(r["n_resets"] for r in k2) == 1
+
+
+def test_with_chunk_refuses_mismatched_reuse(spark):
+    """ADVICE r5: a pre-existing _chunk built with a different chunk_ms is
+    refused instead of silently mis-chunking the stitch; matching reuse
+    still avoids the recompute."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from sbse.bigkey import _with_chunk
+
+    df = spark.createDataFrame(
+        [("s", 1, "2024-01-01 00:00:01", 1)],
+        "source string, key bigint, ts string, seq bigint",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    c = _with_chunk(df, 120_000)
+    assert c.schema["_chunk"].metadata == {"chunk_ms": 120_000}
+    assert _with_chunk(c, 120_000) is c
+    with pytest.raises(ValueError, match="chunk_ms"):
+        _with_chunk(c, 60_000)
+    # a foreign _chunk with no stamp is refused too
+    fake = df.withColumn("_chunk", F.lit(0))
+    with pytest.raises(ValueError, match="chunk_ms"):
+        _with_chunk(fake, 120_000)
