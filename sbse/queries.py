@@ -482,16 +482,16 @@ def q30_simhash_candidates(spark, sf_dir):
     # SimHash near-dup candidates at radius 7. The ORACLE is the plain
     # 8x8-band SQL (pigeonhole-complete for hamming <= 7: any such pair
     # shares a clean band, so the banding emits EXACTLY the radius-7 pair
-    # set). The ENGINE plan (round 6) runs the multi-block banding instead:
-    # identical output (both are complete — the equivalence q36's
-    # brute-force oracle already pins), but ~19-bit keys instead of 8-bit.
-    # With 8-bit keys the self-join's candidate volume is Sum |bucket|^2
-    # over 256 buckets/band — measured 125s at sf1.0 (50k docs) vs ~7s for
-    # the identical-output multiblock plan (guide §2.5/§3: the join key was
-    # the skew).
-    return dd.simhash_candidates_multiblock(
-        dd.simhash64(_widen(_docs(spark, sf_dir))), max_hamming=7, n_blocks=10,
-        comb=3)
+    # set). The ENGINE plan (round 6) is estimate-driven: plain banding's
+    # 8-bit keys make the self-join volume Sum |bucket|^2 — fine at small
+    # corpora (5e6 pairs / ~1.0s at sf0.1) but quadratic-blown at sf1.0
+    # (5.1e8 pairs, measured 111s) — so a cheap exact histogram prices it
+    # and routes large corpora through the identical-output multi-block
+    # tables (~5.8s at sf1.0; equivalence is what q36's brute-force oracle
+    # pins). Guide §2.5/§3: the join key width was the skew.
+    return dd.simhash_candidates_adaptive(
+        dd.simhash64(_widen(_docs(spark, sf_dir))), max_hamming=7,
+        n_bands=8, n_blocks=10, comb=3)
 
 
 def q36_simhash_multiblock(spark, sf_dir):

@@ -32,8 +32,23 @@ def token_table_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     # row order.
     import os
 
+    # Row floor for the widen: below a few hundred thousand rows the
+    # 2-core scan segment finishes faster than the extra exchange costs
+    # (measured at sf0.1: the widen added ~0.1-0.2s to every sub-second
+    # event query while saving nothing). The footer read is a local
+    # metadata lookup; on a multi-file table the partition check below
+    # already makes the widen a no-op.
+    min_rows = int(os.environ.get("SBSE_WIDEN_MIN_ROWS", "300000"))
+    n_rows = None
+    try:
+        import pyarrow.parquet as pq
+
+        n_rows = pq.ParquetFile(f"{sf_dir}/events.parquet").metadata.num_rows
+    except Exception:
+        pass
     par = spark.sparkContext.defaultParallelism
     if (os.environ.get("SBSE_WIDEN_EVENTS", "1") != "0"
+            and (n_rows is None or n_rows >= min_rows)
             and ev.rdd.getNumPartitions() < min(par, 16)):
         # HASH repartition on the unique event id, not round-robin: a
         # keyless repartition(n) first pays a local sort of its input
