@@ -46,16 +46,38 @@ def _widen(df: DataFrame) -> DataFrame:
     return df
 
 
-def _decoded(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # localCheckpoint breaks the fused synth->decode expression tree: the
-    # inline token projection is a test-harness artifact (production input is
-    # a real table); fusing it into decode blows the 64KB codegen method
-    # limit and drops the whole stage to interpreted mode. Scan parallelism
-    # comes from token_table_from_events' narrow-row widen (round 6) — NOT
-    # from repartitioning the token table here, which would shuffle the
-    # materialized token arrays (~30x the bytes).
-    tok = token_table_from_events(spark, sf_dir).localCheckpoint(eager=False)
-    return decode(tok, mode="expr")
+def _decoded(spark: SparkSession, sf_dir: str,
+             cols: list[str] | None = None) -> DataFrame:
+    # The localCheckpoint is a deliberate expression barrier: without it,
+    # CollapseProject inlines the decode expression tree into every
+    # downstream consumer expression that references a decoded column
+    # (windows, aggregates, session chains), the duplicated element_at
+    # chains blow the codegen method budget, and the stage drops to
+    # interpreted mode (measured round 6: every multi-consumer event query
+    # 1.5-4x slower without the barrier).
+    #
+    # Placement (guide §2.3 'project before the exchange', round 6):
+    # *  cols=None — the barrier sits on the TOKEN table, before decode.
+    #    Column pruning then reaches through the decode Project, so a
+    #    consumer evaluates only the decode expressions it references.
+    #    Used by the wide consumers (LOCF merge needs ~16 of the 19
+    #    decoded columns) where post-decode pruning would buy nothing.
+    # *  cols=[...] — the barrier sits AFTER decode, pruned to exactly the
+    #    columns the query reads. The fused token-projection -> decode
+    #    subset stays one codegen'd stage and the checkpoint materializes
+    #    a handful of scalar columns instead of the token arrays (the
+    #    widest column by ~10x). Used by the narrow families (rollups,
+    #    counters, gates: 3-6 columns each).
+    if cols is None:
+        tok = token_table_from_events(spark, sf_dir).localCheckpoint(eager=False)
+        return decode(tok, mode="expr")
+    dec = decode(token_table_from_events(spark, sf_dir), mode="expr")
+    return dec.select(*cols).localCheckpoint(eager=False)
+
+
+# Narrow column sets (guide §2.3): exactly what each family's operators
+# read downstream of states_only/filters — analyzer errors catch drift.
+_STATE_COLS = ["ok", "key", "source", "ts", "seq", "n_tok"]
 
 
 def _merged(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -63,19 +85,28 @@ def _merged(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _rollup(spark: SparkSession, sf_dir: str, unit: str) -> DataFrame:
+    # Rollup family stays on the token-level barrier (cols=None): every
+    # declared output drops first_fp/last_fp, so the optimizer prunes the
+    # xxhash64(tokens) fingerprint out of the Aggregate entirely — a pruned
+    # post-decode barrier would have to materialize fp eagerly (measured
+    # round 6: net loss for q06-q09).
     r = bucket_rollup(states_only(_decoded(spark, sf_dir)), unit)
     return r.drop("first_fp", "last_fp")  # fp columns are engine-only (xxhash64)
 
 
 def q01_decode(spark, sf_dir):
-    return _decoded(spark, sf_dir).drop("tokens")
+    # Single-consumer: no expression sharing to protect, so no barrier —
+    # the fused token-projection -> decode runs as one codegen'd stage and
+    # nothing is materialized (round 6; measured 3.5x faster than paying
+    # the token-table checkpoint for one pass).
+    return decode(token_table_from_events(spark, sf_dir), mode="expr").drop("tokens")
 
 
 def q02_metrics(spark, sf_dir):
     """Run counters (stats.go:69-132): totals + per-msg-type histogram
     (index = msg_type, only 0..9 — out-of-range silently dropped,
     stats.go:89-93)."""
-    d = _decoded(spark, sf_dir)
+    d = _decoded(spark, sf_dir, cols=["ok", "key", "msg_type", "source", "n_tok"])
     aggs = [
         F.count(F.lit(1)).alias("total_rows"),
         F.sum(F.when(F.col("ok"), 1).otherwise(0)).cast("bigint").alias("parsed_rows"),
@@ -199,7 +230,7 @@ def q10_retention_1h(spark, sf_dir):
 
 def q11_validation_gate(spark, sf_dir):
     """Broadcast-join validation gate (tracker main.go:118-123; J2)."""
-    st = states_only(_decoded(spark, sf_dir))
+    st = states_only(_decoded(spark, sf_dir, cols=["ok", "key", "source", "n_tok"]))
     dim = (
         st.select("key").distinct()
         .withColumn("valid", F.col("key") % 10 != 7)
@@ -221,7 +252,7 @@ def q12_active_sessions(spark, sf_dir):
 
 
 def q13_archive_daily(spark, sf_dir):
-    d = _decoded(spark, sf_dir).filter(F.col("ts").isNotNull())
+    d = _decoded(spark, sf_dir, cols=["source", "ts", "n_tok"]).filter(F.col("ts").isNotNull())
     return d.groupBy(
         F.date_trunc("day", "ts").alias("log_date"), "source"
     ).agg(
@@ -303,7 +334,7 @@ def q17_metrics_clamped(spark, sf_dir):
     clamps to 0 on read-back."""
     from sbse.metrics import clamp_read, clamp_u64
 
-    d = states_only(_decoded(spark, sf_dir))
+    d = states_only(_decoded(spark, sf_dir, cols=["ok", "key", "source", "n_tok"]))
     big = F.sum(F.col("n_tok").cast("decimal(38,0)")) * F.lit(1 << 48).cast(
         "decimal(38,0)"
     )
@@ -437,7 +468,7 @@ def q33_rollup_quantiles(spark, sf_dir):
     sketch, no per-bucket sort) — engine-only because its sketch is not
     reproducible in DuckDB; this exact rank path doubles as its test
     oracle at small sf."""
-    d = states_only(_decoded(spark, sf_dir)).select(
+    d = states_only(_decoded(spark, sf_dir, cols=["ok", "key", "source", "ts", "n_tok"])).select(
         "source", F.date_trunc("hour", "ts").alias("bucket_start"), "n_tok"
     )
     w = Window.partitionBy("source", "bucket_start").orderBy("n_tok")
@@ -515,7 +546,7 @@ def q35_quantile_cascade(spark, sf_dir):
     straight from states; equality proves the sketch cascade is lossless."""
     from sbse.rollup import bucket_rollup_q, cascade_q, tier_quantiles
 
-    st = states_only(_decoded(spark, sf_dir))
+    st = states_only(_decoded(spark, sf_dir, cols=["ok", "key", "source", "ts", "n_tok"]))
     return tier_quantiles(cascade_q(bucket_rollup_q(st, "minute"), "hour"))
 
 
@@ -578,7 +609,7 @@ def q41_counter_increase(spark, sf_dir):
     (one per-key window + one partial-agg groupBy)."""
     from sbse.rollup import counter_increase
 
-    return counter_increase(states_only(_decoded(spark, sf_dir)), "hour")
+    return counter_increase(states_only(_decoded(spark, sf_dir, cols=_STATE_COLS)), "hour")
 
 
 def q42_counter_cascade(spark, sf_dir):
@@ -589,7 +620,7 @@ def q42_counter_cascade(spark, sf_dir):
     from sbse.rollup import counter_cascade, counter_increase
 
     return counter_cascade(
-        counter_increase(states_only(_decoded(spark, sf_dir)), "hour"), "day"
+        counter_increase(states_only(_decoded(spark, sf_dir, cols=_STATE_COLS)), "hour"), "day"
     )
 
 
@@ -600,7 +631,7 @@ def q43_counter_bigkey(spark, sf_dir):
     from sbse.bigkey import counter_increase_chunked
 
     return counter_increase_chunked(
-        states_only(_decoded(spark, sf_dir)), unit="hour", chunk_ms=120_000
+        states_only(_decoded(spark, sf_dir, cols=_STATE_COLS)), unit="hour", chunk_ms=120_000
     )
 
 
