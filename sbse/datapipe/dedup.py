@@ -646,6 +646,130 @@ def simhash_candidates_multiblock(
         sims.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
     parts = max(default_parts, n_banded // 65_536 + 1)
     banded = banded.repartition(parts, "table_id", "key")
+    # Vectorized in-worker pairing (round 6, guide §4 'replace the per-row
+    # boundary with a batch one' + §2.4): the SHUFFLE_HASH self-join probed
+    # every bucket collision row-at-a-time in the JVM (~2e8 probes at 50k
+    # docs, each evaluating xor + bit_count + the 10-block agree chain).
+    # The repartition above already colocates each (table_id, key) bucket
+    # in one partition, so a single mapInPandas pass can sort the
+    # partition, find bucket runs, and evaluate ALL within-bucket pairs as
+    # numpy array ops (SWAR popcount + the identical canonical-table
+    # check). Same pair set by construction: positional i<j pairs within a
+    # bucket == the join's doc_a<doc_b condition after min/max
+    # normalization, and the canonical filter uses the same per-table
+    # below/low constants (pinned by test_multiblock_numpy_matches_join and
+    # the q36 brute-force oracle). The JVM join remains as the fallback for
+    # non-numeric doc ids (numpy pairing needs sortable fixed-width
+    # columns) or SBSE_MULTIBLOCK_JOIN=jvm.
+    import os as _os
+    from pyspark.sql import types as T
+
+    doc_t = sims.schema["doc_id"].dataType
+    use_numpy = (
+        _os.environ.get("SBSE_MULTIBLOCK_JOIN", "numpy") != "jvm"
+        and isinstance(doc_t, (T.LongType, T.IntegerType))
+    )
+    if use_numpy:
+        widths_l, offsets_l, nb, mh = list(widths), list(offsets), n_blocks, max_hamming
+
+        def pair_batches(batches):
+            import numpy as np
+            import pandas as pd
+
+            parts_ = [p for p in batches if len(p)]
+            if not parts_:
+                return
+            pdf = parts_[0] if len(parts_) == 1 else pd.concat(
+                parts_, ignore_index=True)
+            key = pdf["key"].to_numpy(np.int64)
+            # widest comb key is sum of the comb largest widths (< 22 bits
+            # at the (10, 3) default); pack (table_id, key) into one int64
+            gk = (pdf["table_id"].to_numpy(np.int64) << 42) | key
+            order = np.argsort(gk, kind="stable")
+            gk = gk[order]
+            sim = pdf["simhash"].to_numpy(np.int64)[order].view(np.uint64)
+            below_c = pdf["below"].to_numpy(np.int64)[order]
+            low_c = pdf["low"].to_numpy(np.int64)[order]
+            docs = pdf["doc_id"].to_numpy()[order]
+
+            starts = np.flatnonzero(np.r_[True, gk[1:] != gk[:-1]])
+            ends = np.r_[starts[1:], len(gk)]
+            sizes = ends - starts
+
+            def popcount(x):  # SWAR over uint64; wraps are intentional
+                x = x - ((x >> np.uint64(1)) & np.uint64(0x5555555555555555))
+                x = ((x & np.uint64(0x3333333333333333))
+                     + ((x >> np.uint64(2)) & np.uint64(0x3333333333333333)))
+                x = (x + (x >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+                return (x * np.uint64(0x0101010101010101)) >> np.uint64(56)
+
+            out_a, out_b, out_h = [], [], []
+
+            def emit(I, J):
+                x = sim[I] ^ sim[J]
+                h = popcount(x).astype(np.int64)
+                m = h <= mh
+                if not m.any():
+                    return
+                I, J, x, h = I[m], J[m], x[m], h[m]
+                agree = np.zeros(len(x), np.int64)
+                for i in range(nb):
+                    blk = (x >> np.uint64(offsets_l[i])) & np.uint64(
+                        (1 << widths_l[i]) - 1)
+                    agree |= (blk == np.uint64(0)).astype(np.int64) << i
+                m2 = (agree & below_c[I]) == low_c[I]
+                if not m2.any():
+                    return
+                I, J, h = I[m2], J[m2], h[m2]
+                da, db = docs[I], docs[J]
+                out_a.append(np.minimum(da, db))
+                out_b.append(np.maximum(da, db))
+                out_h.append(h)
+
+            # group runs by size so pair-index generation is one broadcast
+            # per distinct bucket size; block the run axis to bound scratch.
+            # Oversized buckets (skewed corpora) get a row-blocked loop so
+            # no single index allocation exceeds ~4M pairs.
+            BIG = 2048
+            for sz in np.unique(sizes):
+                if sz < 2:
+                    continue
+                rs = starts[sizes == sz]
+                if sz <= BIG:
+                    iu, ju = np.triu_indices(sz, k=1)
+                    iu = iu.astype(np.int32); ju = ju.astype(np.int32)
+                    ppr = len(iu)  # pairs per run
+                    step = max(1, 4_000_000 // ppr)
+                    for s in range(0, len(rs), step):
+                        blk = rs[s:s + step].astype(np.int32)
+                        emit((blk[:, None] + iu[None, :]).ravel(),
+                             (blk[:, None] + ju[None, :]).ravel())
+                else:
+                    rblk = max(1, 4_000_000 // int(sz))
+                    for r0 in rs:
+                        for i0 in range(0, sz - 1, rblk):
+                            ii = np.arange(r0 + i0,
+                                           r0 + min(i0 + rblk, sz - 1),
+                                           dtype=np.int32)
+                            jj = np.arange(r0 + i0 + 1, r0 + sz,
+                                           dtype=np.int32)
+                            I = np.repeat(ii, len(jj))
+                            J = np.tile(jj, len(ii))
+                            m = J > I
+                            emit(I[m], J[m])
+
+            if out_a:
+                yield pd.DataFrame({
+                    "doc_a": np.concatenate(out_a),
+                    "doc_b": np.concatenate(out_b),
+                    "hamming": np.concatenate(out_h).astype(np.int32),
+                })
+
+        dt = doc_t.simpleString()
+        return banded.mapInPandas(
+            pair_batches,
+            schema=f"doc_a {dt}, doc_b {dt}, hamming int",
+        )
     # BOTH sides project the same columns from the repartitioned frame so
     # the exchange subplans stay canonically identical and ReuseExchange
     # fires (one exchange written, read twice).
