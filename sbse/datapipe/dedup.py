@@ -617,18 +617,40 @@ def simhash_candidates_multiblock(
         top = max(c)
         return (1 << top) - 1, m - (1 << top)
 
-    banded = sims.select(
-        "doc_id",
-        "simhash",
-        F.posexplode(F.array(*[
-            F.struct(k.alias("key"),
-                     F.lit(_consts(c)[0]).alias("below"),
-                     F.lit(_consts(c)[1]).alias("low"))
-            for k, c in zip(keys, combos)
-        ])).alias("table_id", "_e"),
-    ).select("doc_id", "simhash", "table_id",
-             F.col("_e.key").alias("key"), F.col("_e.below").alias("below"),
-             F.col("_e.low").alias("low"))
+    # Path split happens BEFORE the banded projection: the vectorized
+    # pairing path looks below/low up from table_id inside the worker
+    # (len(combos)-element numpy tables in the closure), so its banded
+    # frame carries no struct columns at all — building and shipping the
+    # 120-struct array was measured at ~2x the cost of the whole keys-only
+    # projection + exchange. The JVM join path keeps the per-row constant
+    # columns (a join-condition element_at lookup re-built the literal
+    # array per joined row — measured >40x slower).
+    import os as _os
+    from pyspark.sql import types as T
+
+    doc_t = sims.schema["doc_id"].dataType
+    use_numpy = (
+        _os.environ.get("SBSE_MULTIBLOCK_JOIN", "numpy") != "jvm"
+        and isinstance(doc_t, (T.LongType, T.IntegerType))
+    )
+    if use_numpy:
+        banded = sims.select(
+            "doc_id", "simhash",
+            F.posexplode(F.array(*keys)).alias("table_id", "key"),
+        )
+    else:
+        banded = sims.select(
+            "doc_id",
+            "simhash",
+            F.posexplode(F.array(*[
+                F.struct(k.alias("key"),
+                         F.lit(_consts(c)[0]).alias("below"),
+                         F.lit(_consts(c)[1]).alias("low"))
+                for k, c in zip(keys, combos)
+            ])).alias("table_id", "_e"),
+        ).select("doc_id", "simhash", "table_id",
+                 F.col("_e.key").alias("key"), F.col("_e.below").alias("below"),
+                 F.col("_e.low").alias("low"))
     # Pre-partition the banded frame on the join keys so (a) the exchange
     # is written ONCE and read by both self-join sides, and (b) the
     # SHUFFLE_HASH build side is bounded: each task's hash map holds
@@ -661,16 +683,10 @@ def simhash_candidates_multiblock(
     # the q36 brute-force oracle). The JVM join remains as the fallback for
     # non-numeric doc ids (numpy pairing needs sortable fixed-width
     # columns) or SBSE_MULTIBLOCK_JOIN=jvm.
-    import os as _os
-    from pyspark.sql import types as T
-
-    doc_t = sims.schema["doc_id"].dataType
-    use_numpy = (
-        _os.environ.get("SBSE_MULTIBLOCK_JOIN", "numpy") != "jvm"
-        and isinstance(doc_t, (T.LongType, T.IntegerType))
-    )
     if use_numpy:
         widths_l, offsets_l, nb, mh = list(widths), list(offsets), n_blocks, max_hamming
+        below_lut = [_consts(c)[0] for c in combos]
+        low_lut = [_consts(c)[1] for c in combos]
 
         def pair_batches(batches):
             import numpy as np
@@ -682,14 +698,15 @@ def simhash_candidates_multiblock(
             pdf = parts_[0] if len(parts_) == 1 else pd.concat(
                 parts_, ignore_index=True)
             key = pdf["key"].to_numpy(np.int64)
+            tid = pdf["table_id"].to_numpy(np.int64)
             # widest comb key is sum of the comb largest widths (< 22 bits
             # at the (10, 3) default); pack (table_id, key) into one int64
-            gk = (pdf["table_id"].to_numpy(np.int64) << 42) | key
+            gk = (tid << 42) | key
             order = np.argsort(gk, kind="stable")
             gk = gk[order]
             sim = pdf["simhash"].to_numpy(np.int64)[order].view(np.uint64)
-            below_c = pdf["below"].to_numpy(np.int64)[order]
-            low_c = pdf["low"].to_numpy(np.int64)[order]
+            below_c = np.asarray(below_lut, np.int64)[tid[order]]
+            low_c = np.asarray(low_lut, np.int64)[tid[order]]
             docs = pdf["doc_id"].to_numpy()[order]
 
             starts = np.flatnonzero(np.r_[True, gk[1:] != gk[:-1]])
