@@ -605,6 +605,32 @@ def test_multiblock_numpy_matches_join(spark, monkeypatch):
     assert all(a < b for (a, b) in np_)
 
 
+def test_simhash_smallcorpus_sweep_matches_banding(spark, monkeypatch):
+    """Round-6 small-corpus route: the broadcast all-pairs sweep emits
+    EXACTLY the banding paths' radius pair set, and the adaptive router's
+    threshold env is honored (0 forces the banding routes)."""
+    from sbse.datapipe.dedup import (simhash64, simhash_candidates_adaptive,
+                                     simhash_candidates_multiblock,
+                                     simhash_pairs_smallcorpus)
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    sims = simhash64(docs).localCheckpoint()
+    mb = {(r.doc_a, r.doc_b): r.hamming
+          for r in simhash_candidates_multiblock(sims).collect()}
+    sweep = {(r.doc_a, r.doc_b): r.hamming
+             for r in simhash_pairs_smallcorpus(sims).collect()}
+    assert sweep == mb and len(sweep) > 0
+    # adaptive: default routes the 500-doc corpus through the sweep;
+    # forcing the threshold to 0 must give the identical answer via banding
+    monkeypatch.setenv("SBSE_SIMHASH_BRUTE_MAX_DOCS", "0")
+    banded = {(r.doc_a, r.doc_b): r.hamming
+              for r in simhash_candidates_adaptive(sims).collect()}
+    monkeypatch.delenv("SBSE_SIMHASH_BRUTE_MAX_DOCS")
+    routed = {(r.doc_a, r.doc_b): r.hamming
+              for r in simhash_candidates_adaptive(sims).collect()}
+    assert routed == banded == mb
+
+
 def test_simhash_multiblock_params(spark):
     """comb > n_blocks - max_hamming breaks the pigeonhole guarantee and is
     refused; the uniform-occupancy guard refuses tiny caps; None disables."""
